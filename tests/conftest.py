@@ -1,0 +1,13 @@
+"""Test config: force a CPU backend with 8 virtual devices so mesh/sharding
+tests run without TPU hardware (the TPU-world analog of a fake backend)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

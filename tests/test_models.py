@@ -1,0 +1,145 @@
+"""Model family structural tests: shapes, jittability, gradient flow,
+parameter-count sanity vs the size solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from boosting_nerv_tpu.config import (BoostConfig, decoder_stage_plan,
+                                      resolve_sizes)
+from boosting_nerv_tpu.models import build_model
+
+
+def tiny_cfg(model="NeRV_Boost", **kw):
+    """A miniature config: fc 2x4, strides 2,2 -> 8x16 output."""
+    base = dict(
+        model=model, embed="pe_1.25_8", fc_hw="2_4", fc_dim=6,
+        dec_strds=[2, 2], dec_blks=[1, 1], ks="0_1_5",
+        conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+        sft_block="res_sft", ch_t=8, block_dim=16, reduce=1.2, lower_width=4,
+        enc_strds=[2, 2], enc_dim="8_4", enc_blks=1,
+    )
+    base.update(kw)
+    return BoostConfig(**base)
+
+
+def n_params(params):
+    return sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
+
+
+class TestNeRVBoost:
+    def test_forward_shape_and_jit(self):
+        cfg = tiny_cfg("NeRV_Boost")
+        model = build_model(cfg)
+        t = jnp.array([0.25, 0.5])
+        params = model.init(jax.random.key(0), t)
+        out = jax.jit(model.apply)(params, t)
+        assert out.shape == (2, 8, 16, 3)
+        assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+
+    def test_grad_flows_everywhere(self):
+        cfg = tiny_cfg("NeRV_Boost")
+        model = build_model(cfg)
+        t = jnp.array([0.3])
+        params = model.init(jax.random.key(0), t)
+        target = jnp.zeros((1, 8, 16, 3))
+
+        def loss(p):
+            return jnp.mean((model.apply(p, t) - target) ** 2)
+
+        grads = jax.grad(loss)(params)
+        gnorms = [float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads)]
+        assert all(g > 0 for g in gnorms), "dead parameter leaf"
+
+    def test_time_conditioning_changes_output(self):
+        cfg = tiny_cfg("NeRV_Boost")
+        model = build_model(cfg)
+        params = model.init(jax.random.key(0), jnp.array([0.5]))
+        o1 = model.apply(params, jnp.array([0.1]))
+        o2 = model.apply(params, jnp.array([0.9]))
+        assert float(jnp.abs(o1 - o2).max()) > 1e-5
+
+
+class TestENeRVBoost:
+    def test_forward_shape(self):
+        cfg = tiny_cfg("ENeRV_Boost")
+        model = build_model(cfg)
+        t = jnp.array([0.25, 0.75])
+        params = model.init(jax.random.key(0), t)
+        out = jax.jit(model.apply)(params, t)
+        assert out.shape == (2, 8, 16, 3)
+
+    def test_stage0_expansion(self):
+        cfg = tiny_cfg("ENeRV_Boost")
+        plan = decoder_stage_plan(cfg, cfg.fc_dim, expansion=3)
+        assert plan[0].new_ngf == cfg.fc_dim * 3
+
+
+class TestHNeRVBoost:
+    def test_encode_decode_roundtrip_shapes(self):
+        cfg = tiny_cfg("HNeRV_Boost")
+        model = build_model(cfg)
+        img = jnp.ones((2, 8, 16, 3)) * 0.5
+        t = jnp.array([0.25, 0.5])
+        params = model.init(jax.random.key(0), img, t)
+        embed = model.apply(params, img, method="encode")
+        assert embed.shape == (2, 2, 4, cfg.enc_dim2)
+        out = jax.jit(lambda p, e, tt: model.apply(p, e, tt, method="decode"))(
+            params, embed, t)
+        assert out.shape == (2, 8, 16, 3)
+
+    def test_full_call(self):
+        cfg = tiny_cfg("HNeRV_Boost")
+        model = build_model(cfg)
+        img = jnp.ones((1, 8, 16, 3)) * 0.5
+        t = jnp.array([0.5])
+        params = model.init(jax.random.key(0), img, t)
+        out = model.apply(params, img, t)
+        assert out.shape == (1, 8, 16, 3)
+
+
+class TestHNeRV:
+    def test_encoder_variant(self):
+        cfg = tiny_cfg("HNeRV", sft_block="none", embed="")
+        model = build_model(cfg)
+        img = jnp.ones((1, 8, 16, 3)) * 0.5
+        params = model.init(jax.random.key(0), img)
+        out = model.apply(params, img)
+        assert out.shape == (1, 8, 16, 3)
+
+    def test_pe_variant(self):
+        cfg = tiny_cfg("HNeRV", sft_block="none", enc_strds=[], fc_dim=8)
+        model = build_model(cfg)
+        t = jnp.array([0.5])
+        params = model.init(jax.random.key(0), t)
+        out = model.apply(params, t)
+        assert out.shape == (1, 8, 16, 3)
+
+
+class TestSizeSolver:
+    def test_bunny_nerv_boost_sizing(self):
+        # scripts/regression/bunny/nerv_boost.sh: modelsize 0.8 ~ 1.5M total
+        cfg = BoostConfig(model="NeRV_Boost", embed="pe_1.25_80",
+                          fc_hw="9_16", dec_strds=[5, 2, 2, 2, 2],
+                          dec_blks=[1, 1, 2, 2, 2], ks="0_3_3", reduce=2,
+                          lower_width=12, modelsize=0.8,
+                          conv_type=["convnext", "pshuffel_3x3"], act="sin",
+                          sft_block="res_sft", ch_t=32)
+        cfg = resolve_sizes(cfg, final_size=720 * 1280, full_data_length=132)
+        assert cfg.fc_dim is not None and cfg.fc_dim > 0
+        model = build_model(cfg)
+        params = model.init(jax.random.key(0), jnp.array([0.5]))
+        total = n_params(params) / 1e6
+        # solver targets 0.8M; the realised count lands in the same regime
+        assert 0.3 < total < 2.0, total
+
+    def test_hnerv_boost_embed_dim_rewrite(self):
+        cfg = BoostConfig(model="HNeRV_Boost", enc_strds=[5, 2, 2, 2, 2],
+                          enc_dim="64_16", dec_strds=[5, 2, 2, 2, 2],
+                          dec_blks=[1, 1, 2, 2, 2], ks="0_1_5", reduce=1.2,
+                          lower_width=12, modelsize=1.275)
+        cfg = resolve_sizes(cfg, final_size=720 * 1280, full_data_length=132)
+        assert cfg.enc_dim == "64_16"
+        assert cfg.embed_param > 0
+        assert cfg.fc_dim > 0

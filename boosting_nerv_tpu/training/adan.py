@@ -37,10 +37,12 @@ def adan(learning_rate: float = 1e-3,
          no_prox: bool = False) -> optax.GradientTransformation:
 
     def init_fn(params):
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        # four independent zero trees: sharing one would alias buffers and
+        # break argument donation in jitted train steps
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
         return AdanState(step=jnp.zeros([], jnp.int32),
-                         exp_avg=zeros, exp_avg_diff=zeros,
-                         exp_avg_sq=zeros, prev_grad=zeros)
+                         exp_avg=zeros(), exp_avg_diff=zeros(),
+                         exp_avg_sq=zeros(), prev_grad=zeros())
 
     def update_fn(grads, state: AdanState, params=None, *, lr=None):
         if params is None:

@@ -1,0 +1,49 @@
+"""Checkpoint save/restore.
+
+Same artefact semantics as the reference (`model_latest.pth` per epoch with
+{'epoch','state_dict','optimizer'}, auto-resume restoring the model but not
+the optimiser — /root/reference/train_nerv_all.py:396-403, 286-298). Stored
+as a pickle of numpy pytrees (portable, no torch)."""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_checkpoint(path: str, epoch: int, params: Any,
+                    opt_state: Any = None, extra: Optional[Dict] = None):
+    payload = {"epoch": int(epoch), "params": _to_numpy(params)}
+    if opt_state is not None:
+        payload["opt_state"] = _to_numpy(opt_state)
+    if extra:
+        payload["extra"] = extra
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def tree_restore(template, saved):
+    """Copy saved leaves into the template's structure (dtype-preserving)."""
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    s_leaves = jax.tree_util.tree_leaves(saved)
+    if len(t_leaves) != len(s_leaves):
+        raise ValueError(f"checkpoint leaf count {len(s_leaves)} != "
+                         f"model leaf count {len(t_leaves)}")
+    new = [np.asarray(s, dtype=t.dtype).reshape(t.shape)
+           for t, s in zip(t_leaves, s_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, new)

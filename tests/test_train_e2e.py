@@ -1,0 +1,119 @@
+"""End-to-end overfit tests on a tiny synthetic video: the PSNR must rise
+well above its initial value within a few epochs for every model family and
+task (the framework's equivalent of the reference's --debug smoke runs)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from boosting_nerv_tpu.config import BoostConfig
+from boosting_nerv_tpu.data import VideoData, synthetic_video
+from boosting_nerv_tpu.training.trainer import RegressionTrainer
+from boosting_nerv_tpu.utils.logger import RunLogger
+
+
+def tiny_cfg(tmp, model="NeRV_Boost", **kw):
+    base = dict(
+        model=model, embed="pe_1.25_20", fc_hw="2_4", fc_dim=12,
+        dec_strds=[2, 2], dec_blks=[1, 1], ks="0_1_5",
+        conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+        sft_block="res_sft", ch_t=8, block_dim=16, reduce=1.2, lower_width=4,
+        enc_strds=[2, 2], enc_dim="8_4", enc_blks=1,
+        epochs=30, batchSize=2, lr=5e-3, lr_type="cosine_0.1_1_0.1",
+        loss="L2", eval_freq=1000, outf=os.path.join(str(tmp), "run"),
+        not_resume=True, optim_type="Adan",
+    )
+    base.update(kw)
+    return BoostConfig(**base)
+
+
+def run_overfit(cfg, frames):
+    video = VideoData(frames, cfg.interpolation, cfg.embed_inter)
+    trainer = RegressionTrainer(cfg, video=video,
+                                logger=RunLogger(cfg.outf, enable_tb=False))
+    trainer.train()
+    return trainer
+
+
+class TestOverfit:
+    def test_nerv_boost_overfits(self, tmp_path):
+        frames = synthetic_video(4, 8, 16)
+        cfg = tiny_cfg(tmp_path, "NeRV_Boost", epochs=60)
+        trainer = run_overfit(cfg, frames)
+        res = trainer.evaluate()
+        assert res["pred_seen_psnr"] > 20.0, res
+
+    def test_hnerv_boost_overfits_and_quant_eval(self, tmp_path):
+        frames = synthetic_video(4, 8, 16)
+        cfg = tiny_cfg(tmp_path, "HNeRV_Boost", epochs=150)
+        trainer = run_overfit(cfg, frames)
+        res = trainer.evaluate(huffman_coding=True)
+        assert res["pred_seen_psnr"] > 20.0, res
+        # PTQ model evaluated and huffman accounting populated
+        assert res["quant_seen_psnr"] > 10.0, res
+        assert trainer.bits_per_param > 0
+        assert trainer.total_bpp > 0
+        assert trainer.fps > 0
+
+    def test_enerv_boost_trains(self, tmp_path):
+        frames = synthetic_video(4, 8, 16)
+        cfg = tiny_cfg(tmp_path, "ENeRV_Boost", epochs=30)
+        trainer = run_overfit(cfg, frames)
+        res = trainer.evaluate()
+        assert res["pred_seen_psnr"] > 15.0, res
+
+    def test_hnerv_plain_trains(self, tmp_path):
+        frames = synthetic_video(4, 8, 16)
+        cfg = tiny_cfg(tmp_path, "HNeRV", sft_block="none", embed="",
+                       epochs=30)
+        trainer = run_overfit(cfg, frames)
+        res = trainer.evaluate()
+        assert res["pred_seen_psnr"] > 15.0, res
+
+
+class TestTasks:
+    def test_inpainting_mask_applied(self, tmp_path):
+        frames = synthetic_video(4, 8, 16)
+        cfg = tiny_cfg(tmp_path, "NeRV_Boost", epochs=5,
+                       inpanting="inpanting_center")
+        trainer = run_overfit(cfg, frames)
+        assert trainer.inpaint_mask is not None
+        m = np.asarray(trainer.inpaint_mask)[0, :, :, 0]
+        assert m.min() == 0 and m.max() == 1
+
+    def test_interpolation_split(self, tmp_path):
+        frames = synthetic_video(5, 8, 16)
+        cfg = tiny_cfg(tmp_path, "HNeRV_Boost", epochs=5,
+                       interpolation=True, embed_inter=True,
+                       data_split="1_1_2", batchSize=1)
+        video = VideoData(frames, True, True)
+        trainer = RegressionTrainer(cfg, video=video,
+                                    logger=RunLogger(cfg.outf, enable_tb=False))
+        assert trainer.train_ind == [0, 2, 4]
+        assert trainer.val_ind == [1, 3]
+        trainer.train()
+        res = trainer.evaluate()
+        assert "pred_unseen_psnr" in res and res["pred_unseen_psnr"] != 0
+
+
+class TestCheckpointResume:
+    def test_resume_restores_params(self, tmp_path):
+        frames = synthetic_video(4, 8, 16)
+        cfg = tiny_cfg(tmp_path, "NeRV_Boost", epochs=3, not_resume=False)
+        video = VideoData(frames)
+        t1 = RegressionTrainer(cfg, video=video,
+                               logger=RunLogger(cfg.outf, enable_tb=False))
+        t1.train()
+        assert os.path.isfile(os.path.join(cfg.outf, "model_latest.ckpt"))
+        # new trainer auto-resumes at epoch 3 -> train() is a no-op
+        t2 = RegressionTrainer(cfg, video=video,
+                               logger=RunLogger(cfg.outf, enable_tb=False))
+        t2.maybe_resume()
+        assert t2.start_epoch == 3
+        import jax
+
+        p1 = jax.tree_util.tree_leaves(jax.device_get(t1.params))
+        p2 = jax.tree_util.tree_leaves(jax.device_get(t2.params))
+        for a, b in zip(p1, p2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,4 +1,4 @@
 from .registry import build_model
 from .nerv import NeRVBoost
-from .enerv import ENeRVBoost
-from .hnerv import HNeRV, HNeRVBoost
+from .enerv import ENeRV, ENeRVBoost
+from .hnerv import HNeRV, HNeRVBoost, decoder_only_params

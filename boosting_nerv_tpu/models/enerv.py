@@ -17,6 +17,7 @@ block — no sequence-axis sharding is warranted (SURVEY.md §2.3).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,7 +75,9 @@ class TransformerBlock(nn.Module):
         return x
 
 
-class ENeRVBoost(nn.Module):
+class _ENeRVTrunk(nn.Module):
+    """Shared E-NeRV trunk: t-branch + xy-branch fused through the two
+    transformer blocks (model_enerv.py:175-199)."""
     cfg: BoostConfig
 
     def setup(self):
@@ -82,7 +85,6 @@ class ENeRVBoost(nn.Module):
         self.pe = PEConfig.from_string(cfg.embed, cfg.lfreq)
         block_dim = cfg.block_dim
         self.stem_t = MLP(dims=(block_dim * 2, block_dim), act=cfg.act)
-        self.t_branch = MLP(dims=(cfg.ch_t * 2, cfg.ch_t), act=cfg.act)
         self.stem_xy = MLP(dims=(block_dim,), act=cfg.act)
         self.trans1 = TransformerBlock(dim=block_dim, heads=1, dim_head=64,
                                        mlp_dim=block_dim // 2)
@@ -90,6 +92,85 @@ class ENeRVBoost(nn.Module):
                                        mlp_dim=block_dim // 2)
         self.to_conv = (None if block_dim == cfg.fc_dim
                         else MLP(dims=(cfg.fc_dim,), act=cfg.act))
+
+    def __call__(self, t):
+        cfg = self.cfg
+        b = t.shape[0]
+        fc_h, fc_w = cfg.fc_h, cfg.fc_w
+        pe_t = position_encoding(t, self.pe)
+        t_emb = self.stem_t(pe_t)
+        xs = (np.arange(fc_h) / fc_h).astype(np.float32)
+        ys = (np.arange(fc_w) / fc_w).astype(np.float32)
+        gx, gy = jnp.meshgrid(jnp.asarray(xs), jnp.asarray(ys), indexing="ij")
+        x_pe = position_encoding(gx.reshape(-1), self.pe)
+        y_pe = position_encoding(gy.reshape(-1), self.pe)
+        xy = jnp.concatenate([x_pe, y_pe], axis=-1)
+        xy = self.stem_xy(xy)[None].repeat(b, axis=0)
+        xy = self.trans1(xy)
+        emb = xy * t_emb[:, None, :]
+        emb = self.trans2(emb)
+        emb = emb.reshape(b, fc_h, fc_w, -1)
+        if self.to_conv is not None:
+            emb = self.to_conv(emb)
+        return emb, pe_t
+
+
+class ENeRV(nn.Module):
+    """Baseline E-NeRV (no TAT): per-stage InstanceNorm + FiLM modulation
+    from a 128-wide t-branch (model_enerv.py:104-218, fuse_t at :163-173)."""
+    cfg: BoostConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.trunk = _ENeRVTrunk(cfg)
+        self.t_branch = MLP(dims=(128, 128), act=cfg.act)
+        plan = decoder_stage_plan(cfg, cfg.fc_dim, expansion=3)
+        blocks, t_layers = [], []
+        idx = 0
+        for i, _ in enumerate(cfg.dec_strds):
+            for j in range(cfg.dec_blks[i]):
+                s = plan[idx]
+                t_layers.append(MLP(dims=(2 * s.ngf,), act=cfg.act))
+                if i == 0:
+                    blocks.append(ConvUpBlock(
+                        conv_type=cfg.conv_type[1], ngf=s.ngf,
+                        new_ngf=s.new_ngf, ks=s.ks, strd=s.strd,
+                        norm=cfg.norm, act=cfg.act, sft=False))
+                else:
+                    blocks.append(NeRVBlock(
+                        dec_block=True, conv_type=cfg.conv_type[1],
+                        new_ngf=s.new_ngf, ks=s.ks, strd=s.strd,
+                        norm=cfg.norm, act=cfg.act, sft=False,
+                        has_encoder=True))
+                idx += 1
+        self.blocks = blocks
+        self.t_layers = t_layers
+        self.head = TConv(3, 1, 1, 0)
+
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x, pe_t = self.trunk(t)
+        t_manip = self.t_branch(pe_t)          # [B, 128]
+        for blk, t_layer in zip(self.blocks, self.t_layers):
+            # InstanceNorm (no affine) then FiLM from the t feature
+            mean = x.mean(axis=(1, 2), keepdims=True)
+            var = x.var(axis=(1, 2), keepdims=True)
+            x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+            tf = t_layer(t_manip)
+            c = tf.shape[-1] // 2
+            gamma, beta = tf[:, :c], tf[:, c:]
+            x = x * gamma[:, None, None, :] + beta[:, None, None, :]
+            x = blk(x)
+        return out_img(self.head(x), cfg.out_bias)
+
+
+class ENeRVBoost(nn.Module):
+    cfg: BoostConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.trunk = _ENeRVTrunk(cfg)
+        self.t_branch = MLP(dims=(cfg.ch_t * 2, cfg.ch_t), act=cfg.act)
         plan = decoder_stage_plan(cfg, cfg.fc_dim,
                                   expansion=model_expansion("ENeRV_Boost"))
         use_sft = cfg.sft_block == "res_sft" and cfg.ch_t != 0
@@ -115,28 +196,8 @@ class ENeRVBoost(nn.Module):
 
     def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
-        b = t.shape[0]
-        fc_h, fc_w = cfg.fc_h, cfg.fc_w
-        pe_t = position_encoding(t, self.pe)
-        t_emb = self.stem_t(pe_t)                       # [B, block_dim]
+        x, pe_t = self.trunk(t)
         t_manip = self.t_branch(pe_t)                   # [B, ch_t]
-
-        # xy grid trunk: PE each coordinate, concat, project, attend
-        xs = (np.arange(fc_h) / fc_h).astype(np.float32)
-        ys = (np.arange(fc_w) / fc_w).astype(np.float32)
-        gx, gy = jnp.meshgrid(jnp.asarray(xs), jnp.asarray(ys), indexing="ij")
-        x_pe = position_encoding(gx.reshape(-1), self.pe)   # [hw, 2L]
-        y_pe = position_encoding(gy.reshape(-1), self.pe)   # [hw, 2L]
-        xy = jnp.concatenate([x_pe, y_pe], axis=-1)         # [hw, 4L]
-        xy = self.stem_xy(xy)[None].repeat(b, axis=0)       # [B, hw, block_dim]
-
-        xy = self.trans1(xy)
-        emb = xy * t_emb[:, None, :]
-        emb = self.trans2(emb)
-        emb = emb.reshape(b, fc_h, fc_w, -1)
-        if self.to_conv is not None:
-            emb = self.to_conv(emb)
-        x = emb
         for blk in self.blocks:
             x = blk(x, t_manip)
         return out_img(self.head(x), cfg.out_bias)

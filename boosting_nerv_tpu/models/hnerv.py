@@ -76,6 +76,19 @@ class HNeRVBoost(nn.Module):
         return self.decode(self.encode(img), t)
 
 
+def decoder_only_params(params):
+    """Strip the encoder subtree — the deployable decode-only artifact (the
+    reference's standalone `HNeRVDecoder`, model_hnerv.py:160-175). The
+    result applies directly with `method="decode"` since that path never
+    touches encoder parameters."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params)
+    kept = {k: v for k, v in flat.items()
+            if not any("encoder" in str(p) for p in k)}
+    return unflatten_dict(kept)
+
+
 class HNeRV(nn.Module):
     """Baseline HNeRV (no TAT). Also covers the encoder-less PE variant."""
     cfg: BoostConfig

@@ -4,12 +4,13 @@
 from __future__ import annotations
 
 from ..config import BoostConfig
-from .enerv import ENeRVBoost
+from .enerv import ENeRV, ENeRVBoost
 from .hnerv import HNeRV, HNeRVBoost
 from .nerv import NeRVBoost
 
 _REGISTRY = {
     "NeRV_Boost": NeRVBoost,
+    "ENeRV": ENeRV,
     "ENeRV_Boost": ENeRVBoost,
     "HNeRV_Boost": HNeRVBoost,
     "HNeRV": HNeRV,

@@ -99,6 +99,43 @@ class TestHNeRVBoost:
         assert out.shape == (1, 8, 16, 3)
 
 
+class TestENeRVBaseline:
+    def test_forward_shape(self):
+        cfg = tiny_cfg("ENeRV", sft_block="none")
+        model = build_model(cfg)
+        t = jnp.array([0.25, 0.75])
+        params = model.init(jax.random.key(0), t)
+        out = jax.jit(model.apply)(params, t)
+        assert out.shape == (2, 8, 16, 3)
+
+    def test_film_conditioning_active(self):
+        cfg = tiny_cfg("ENeRV", sft_block="none")
+        model = build_model(cfg)
+        params = model.init(jax.random.key(0), jnp.array([0.5]))
+        o1 = model.apply(params, jnp.array([0.1]))
+        o2 = model.apply(params, jnp.array([0.9]))
+        assert float(jnp.abs(o1 - o2).max()) > 1e-5
+
+
+class TestDecoderOnlyExport:
+    def test_decode_without_encoder_params(self):
+        from boosting_nerv_tpu.models import decoder_only_params
+
+        cfg = tiny_cfg("HNeRV_Boost")
+        model = build_model(cfg)
+        img = jnp.ones((1, 8, 16, 3)) * 0.5
+        t = jnp.array([0.5])
+        params = model.init(jax.random.key(0), img, t)
+        embed = model.apply(params, img, method="encode")
+        full = model.apply(params, embed, t, method="decode")
+        dec_params = decoder_only_params(params)
+        n_full = len(jax.tree_util.tree_leaves(params))
+        n_dec = len(jax.tree_util.tree_leaves(dec_params))
+        assert n_dec < n_full
+        slim = model.apply(dec_params, embed, t, method="decode")
+        np.testing.assert_allclose(np.asarray(full), np.asarray(slim))
+
+
 class TestHNeRV:
     def test_encoder_variant(self):
         cfg = tiny_cfg("HNeRV", sft_block="none", embed="")

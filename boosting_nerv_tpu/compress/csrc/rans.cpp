@@ -133,4 +133,101 @@ long rans_gaussian_decode(const uint32_t* buf, long nwords, long n,
   return 0;
 }
 
+// ---- categorical model (explicit frequency table) --------------------- //
+// Parity with the reference's categorical path
+// (lib/entropy_model.py:65-81): symbols are indices 0..n_sym-1 with an
+// empirical probability table.
+
+namespace {
+
+void build_categorical(const double* probs, int n_sym,
+                       std::vector<uint32_t>& freq,
+                       std::vector<uint32_t>& cum) {
+  double total = 0.0;
+  for (int i = 0; i < n_sym; ++i) total += probs[i] > 0 ? probs[i] : 1e-12;
+  freq.assign(n_sym, 1);
+  uint32_t assigned = static_cast<uint32_t>(n_sym);
+  std::vector<std::pair<double, int>> rema(n_sym);
+  for (int i = 0; i < n_sym; ++i) {
+    const double p = (probs[i] > 0 ? probs[i] : 1e-12) / total;
+    const double ideal = p * PROB_SCALE;
+    uint32_t f = ideal > 1.0 ? static_cast<uint32_t>(ideal) : 1u;
+    assigned += f - freq[i];
+    freq[i] = f;
+    rema[i] = {ideal - f, i};
+  }
+  if (assigned < PROB_SCALE) {
+    std::sort(rema.begin(), rema.end(),
+              [](auto& a, auto& b) { return a.first > b.first; });
+    uint32_t left = PROB_SCALE - assigned;
+    for (uint32_t k = 0; left > 0; k = (k + 1) % n_sym, --left)
+      freq[rema[k].second] += 1;
+  } else if (assigned > PROB_SCALE) {
+    std::sort(rema.begin(), rema.end(),
+              [](auto& a, auto& b) { return a.first < b.first; });
+    uint32_t over = assigned - PROB_SCALE;
+    for (uint32_t k = 0; over > 0; k = (k + 1) % n_sym) {
+      int i = rema[k].second;
+      if (freq[i] > 1) { freq[i] -= 1; --over; }
+    }
+  }
+  cum.assign(n_sym + 1, 0);
+  for (int i = 0; i < n_sym; ++i) cum[i + 1] = cum[i] + freq[i];
+}
+
+}  // namespace
+
+extern "C" long rans_categorical_encode(const int32_t* symbols, long n,
+                                        const double* probs, int n_sym,
+                                        uint32_t* out_buf, long out_cap) {
+  std::vector<uint32_t> freq, cum;
+  build_categorical(probs, n_sym, freq, cum);
+  std::vector<uint32_t> words;
+  words.reserve(static_cast<size_t>(n) / 2 + 4);
+  uint64_t x = RANS_L;
+  for (long i = n - 1; i >= 0; --i) {
+    int32_t s = symbols[i];
+    if (s < 0 || s >= n_sym) return -2;
+    const uint32_t f = freq[s];
+    const uint32_t c = cum[s];
+    const uint64_t x_max = ((RANS_L >> PROB_BITS) << 32) * f;
+    if (x >= x_max) {
+      words.push_back(static_cast<uint32_t>(x));
+      x >>= 32;
+    }
+    x = ((x / f) << PROB_BITS) + (x % f) + c;
+  }
+  const long total = static_cast<long>(words.size()) + 2;
+  if (total > out_cap) return -1;
+  out_buf[0] = static_cast<uint32_t>(x >> 32);
+  out_buf[1] = static_cast<uint32_t>(x);
+  for (size_t i = 0; i < words.size(); ++i)
+    out_buf[2 + i] = words[words.size() - 1 - i];
+  return total;
+}
+
+extern "C" long rans_categorical_decode(const uint32_t* buf, long nwords,
+                                        long n, const double* probs,
+                                        int n_sym, int32_t* out_symbols) {
+  std::vector<uint32_t> freq, cum;
+  build_categorical(probs, n_sym, freq, cum);
+  if (nwords < 2) return -1;
+  uint64_t x = (static_cast<uint64_t>(buf[0]) << 32) | buf[1];
+  long pos = 2;
+  for (long i = 0; i < n; ++i) {
+    const uint32_t slot = static_cast<uint32_t>(x & (PROB_SCALE - 1));
+    int lo = 0, hi = n_sym;
+    while (hi - lo > 1) {
+      const int mid = (lo + hi) / 2;
+      if (cum[mid] <= slot) lo = mid; else hi = mid;
+    }
+    out_symbols[i] = lo;
+    x = freq[lo] * (x >> PROB_BITS) + slot - cum[lo];
+    if (x < RANS_L && pos < nwords) {
+      x = (x << 32) | buf[pos++];
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

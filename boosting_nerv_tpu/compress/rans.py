@@ -51,6 +51,16 @@ def _lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_long,
                 ctypes.c_double, ctypes.c_double, ctypes.c_int32,
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+            lib.rans_categorical_encode.restype = ctypes.c_long
+            lib.rans_categorical_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_long]
+            lib.rans_categorical_decode.restype = ctypes.c_long
+            lib.rans_categorical_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32)]
             _LIB = lib
     return _LIB
 
@@ -101,3 +111,39 @@ def gaussian_ans_bits(symbols: np.ndarray, mean: float, std: float) -> int:
     entropy_model.py:46-62)."""
     stream, _, _ = gaussian_ans_encode(symbols, mean, std)
     return int(stream.size) * 32
+
+
+def categorical_ans_encode(values: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Empirical-table ANS coding of an arbitrary integer tensor (parity
+    with compress_matrix_flatten_categorical, entropy_model.py:65-81).
+    Returns (stream words, unique symbol values, their counts)."""
+    vals = np.asarray(values).ravel()
+    unique, inverse, counts = np.unique(vals, return_inverse=True,
+                                        return_counts=True)
+    probs = np.ascontiguousarray(counts / counts.sum(), dtype=np.float64)
+    msg = np.ascontiguousarray(inverse, dtype=np.int32)
+    cap = msg.size + 16
+    out = np.empty(cap, dtype=np.uint32)
+    n = _lib().rans_categorical_encode(
+        msg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), msg.size,
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), probs.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap)
+    if n < 0:
+        raise RuntimeError(f"categorical rANS encode failed ({n})")
+    return out[:n].copy(), unique, counts
+
+
+def categorical_ans_decode(stream: np.ndarray, n_symbols: int,
+                           unique: np.ndarray, counts: np.ndarray
+                           ) -> np.ndarray:
+    stream = np.ascontiguousarray(stream, dtype=np.uint32)
+    probs = np.ascontiguousarray(counts / counts.sum(), dtype=np.float64)
+    idx = np.empty(n_symbols, dtype=np.int32)
+    r = _lib().rans_categorical_decode(
+        stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), stream.size,
+        n_symbols, probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        probs.size, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if r != 0:
+        raise RuntimeError("categorical rANS decode failed")
+    return np.asarray(unique)[idx]

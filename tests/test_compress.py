@@ -133,6 +133,21 @@ class TestRANS:
         assert bits < ideal * 1.01 + 64 * 8, (bits, ideal)
         assert bits > ideal * 0.95
 
+    def test_categorical_roundtrip(self):
+        from boosting_nerv_tpu.compress.rans import (categorical_ans_decode,
+                                                     categorical_ans_encode)
+
+        rng = np.random.default_rng(3)
+        vals = rng.choice([-7, 0, 1, 3, 250], p=[.1, .5, .2, .15, .05],
+                          size=8000).astype(np.int64)
+        stream, unique, counts = categorical_ans_encode(vals)
+        dec = categorical_ans_decode(stream, vals.size, unique, counts)
+        np.testing.assert_array_equal(dec, vals)
+        # near the empirical entropy
+        p = counts / counts.sum()
+        h = float(-(p * np.log2(p)).sum()) * vals.size
+        assert stream.size * 32 < h * 1.02 + 96
+
     def test_degenerate_constant_tensor(self):
         sym = np.zeros(100, dtype=np.int32)
         bits = gaussian_ans_bits(sym, 0.0, 1e-9)

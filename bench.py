@@ -1,21 +1,27 @@
 #!/usr/bin/env python
 """Headline benchmark: HNeRV-Boost UVG-1080p decode throughput per chip.
 
-Measures the jitted decode path (embedding -> frame; encoder excluded, the
-reference's decode-FPS convention at /root/reference/model_hnerv.py:240-250)
-on the UVG compression config (scripts/compression/hnerv_boost.sh: enc/dec
-strides 5 3 2 2 2, ks 0_1_5, reduce 1.2, dec_blks 1 1 2 2 2, ~3M params),
-batch size 1, fp32 parameters.
+Measures the jitted decode path (embedding -> frame; encoder excluded — the
+reference's decode-FPS convention, /root/reference/model_hnerv.py:240-250)
+on the UVG config (scripts/compression/hnerv_boost.sh: enc/dec strides
+5 3 2 2 2, ks 0_1_5, reduce 1.2, dec_blks 1 1 2 2 2, ~3M params).
+
+Timing method: N decode steps with distinct frame indices inside ONE
+`lax.scan` under a single jit dispatch, completion forced by a scalar
+readback. This is robust against the async-dispatch semantics of the
+tunneled single-chip backend, where per-call block_until_ready returns at
+dispatch-ack rather than completion. Fixed host overhead (RTT) is removed by
+differencing two scan lengths.
 
 Prints ONE JSON line:
   {"metric": "uvg1080p_decode_fps_per_chip", "value": N, "unit": "fps",
    "vs_baseline": N / 45.0}
 
-vs_baseline is measured against the north-star target of 1.5x an A100-class
-PyTorch reference decode (BASELINE.md): the reference publishes no decode
-fps, so we anchor on 30 fps for a ~3M-param HNeRV-Boost at 1080p on A100
-(HNeRV-class models decode at ~30-40 fps there; the TAT blocks add work),
-giving a 45 fps target. vs_baseline >= 1.0 means the target is met.
+vs_baseline anchors on the north-star target of 1.5x an A100-class PyTorch
+reference decode (BASELINE.md): the reference publishes no decode fps, so we
+assume 30 fps for a ~3M-param HNeRV-Boost at 1080p on A100 (HNeRV-class
+models decode at ~30-40 fps there), i.e. target 45 fps; vs_baseline >= 1.0
+means the target is met.
 """
 
 from __future__ import annotations
@@ -23,10 +29,11 @@ from __future__ import annotations
 import json
 import time
 
-BASELINE_TARGET_FPS = 45.0  # 1.5 x assumed 30 fps A100 reference
+BASELINE_TARGET_FPS = 45.0  # 1.5 x assumed 30 fps A100-class reference
+DECODE_DTYPE = "float32"    # set to "bfloat16" for the fast path
 
 
-def main():
+def _build():
     import jax
     import jax.numpy as jnp
 
@@ -38,29 +45,53 @@ def main():
         enc_dim="64_16", dec_strds=[5, 3, 2, 2, 2], dec_blks=[1, 1, 2, 2, 2],
         ks="0_1_5", reduce=1.2, lower_width=12, modelsize=2.8,
         conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
-        sft_block="res_sft", ch_t=32, crop_list="1080_1920")
+        sft_block="res_sft", ch_t=32, crop_list="1080_1920",
+        decode_dtype=DECODE_DTYPE)
     cfg = resolve_sizes(cfg, final_size=1920 * 1080, full_data_length=120)
 
     model = build_model(cfg)
-    rng = jax.random.key(0)
     img = jnp.zeros((1, 1080, 1920, 3), jnp.float32)
     t = jnp.asarray([0.5], jnp.float32)
-    params = model.init(rng, img, t)
+    params = model.init(jax.random.key(0), img, t)
+    embed = jax.jit(lambda p, i: model.apply(p, i, method="encode"))(params, img)
+    if DECODE_DTYPE == "bfloat16":
+        cast = lambda x: x.astype(jnp.bfloat16)
+        params = jax.tree_util.tree_map(cast, params)
+        embed = cast(embed)
+    return model, params, embed
 
-    embed = model.apply(params, img, method="encode")
 
-    decode = jax.jit(lambda p, e, tt: model.apply(p, e, tt, method="decode"))
-    out = decode(params, embed, t)
-    out.block_until_ready()
+def _timed_scan(model, params, embed, n: int) -> float:
+    """Seconds for n sequential decodes inside one dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
 
-    # measured window: enough reps for a stable number, short enough for CI
-    reps = 50
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out = decode(params, embed, t)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    fps = reps / dt
+    @jax.jit
+    def decode_n(params, embed, ts):
+        def body(c, tt):
+            out = model.apply(params, embed, tt[None], method="decode")
+            return c + out.astype(jnp.float32).mean(), None
+        acc, _ = lax.scan(body, 0.0, ts)
+        return acc
+
+    ts = jnp.linspace(0.01, 1.0, n)
+    float(decode_n(params, embed, ts))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(decode_n(params, embed, ts))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    model, params, embed = _build()
+    n_small, n_large = 4, 20
+    t_small = _timed_scan(model, params, embed, n_small)
+    t_large = _timed_scan(model, params, embed, n_large)
+    per_frame = max((t_large - t_small) / (n_large - n_small), 1e-9)
+    fps = 1.0 / per_frame
 
     print(json.dumps({
         "metric": "uvg1080p_decode_fps_per_chip",

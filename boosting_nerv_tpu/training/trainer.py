@@ -336,22 +336,35 @@ class RegressionTrainer:
 
     def measure_fps(self, params, reps: int = 20) -> float:
         """Decode steps/s; encoder excluded for the HNeRV family (the
-        reference clock convention, model_hnerv.py:240-250)."""
+        reference clock convention, model_hnerv.py:240-250).
+
+        Timed as `reps` decodes inside ONE lax.scan dispatch with a scalar
+        readback: on the tunneled TPU backend, per-call block_until_ready
+        returns at dispatch-ack, so naive rep loops measure RTT instead of
+        compute (see CLAUDE.md)."""
         cfg = self.cfg
-        batch = self.video.get_batch(list(range(min(cfg.batchSize, self.video.n))))
-        t = jnp.asarray(batch["norm_idx"])
+        b = min(cfg.batchSize, self.video.n)
+        batch = self.video.get_batch(list(range(b)))
         if self.encode_step is not None:
             embed = self.encode_step(params, jnp.asarray(batch["img"]))
         else:
             embed = None
-        out = self.decode_step(params, embed, t)
-        out.block_until_ready()
+        decode = self.decode_step
+
+        @jax.jit
+        def decode_n(params, embed, ts):
+            def body(c, tt):
+                out = decode(params, embed, jnp.full((b,), tt))
+                return c + out.astype(jnp.float32).mean(), None
+            acc, _ = jax.lax.scan(body, 0.0, ts)
+            return acc
+
+        ts = jnp.linspace(0.01, 1.0, reps)
+        float(decode_n(params, embed, ts))  # compile + warm
         t0 = time.time()
-        for _ in range(reps):
-            out = self.decode_step(params, embed, t)
-        out.block_until_ready()
+        float(decode_n(params, embed, ts))
         dt = time.time() - t0
-        return reps * t.shape[0] / dt
+        return reps * b / dt
 
     def evaluate(self, dump_vis: bool = False, huffman_coding: bool = False
                  ) -> Dict[str, float]:

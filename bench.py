@@ -87,10 +87,10 @@ def _timed_scan(model, params, embed, n: int) -> float:
 
 def main():
     model, params, embed = _build()
-    n_small, n_large = 4, 20
-    t_small = _timed_scan(model, params, embed, n_small)
-    t_large = _timed_scan(model, params, embed, n_large)
-    per_frame = max((t_large - t_small) / (n_large - n_small), 1e-9)
+    # one 20-step scan (~1.8 s device time) vs ~0.7 ms dispatch RTT: the
+    # fixed overhead is <0.1%, no differencing needed
+    n = 20
+    per_frame = _timed_scan(model, params, embed, n) / n
     fps = 1.0 / per_frame
 
     print(json.dumps({

@@ -34,6 +34,19 @@ HALO = 2        # two stacked 3x3 convs
 DMA_ROWS = 16   # sublane-aligned VMEM tile height (TH + 2*HALO rounded to 8)
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7): Mosaic has no
+    erf/erfc lowering; exp is supported."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _shift_w(row32, dx, col, w):
     """Static W-shift with zero boundary; lane rotate is 32-bit only."""
     if dx == 1:
@@ -92,23 +105,24 @@ def _kernel(h_real, x_hbm, w0_ref, b0_ref, w1_ref, b1_ref, sft_ref,
         val = x32 * s0 + h0
         return jnp.where(in_bounds(r), val, 0.0)
 
-    # conv0 needs output rows (1 .. TH+2] of the tile (i.e. TH+2 rows
-    # centred on the block) so conv1 has its own halo
-    c0_rows = _conv_rows(a_row, w0_ref, b0_ref, range(TH + 2), col, c, w, dt)
+    # conv0 produces TH+2 rows (the block plus conv1's halo). Each row is
+    # immediately pushed through GELU+SFT1 and stored as bf16 so the fp32
+    # accumulators die row by row (keeps the Mosaic VMEM stack small).
+    m_rows = []
+    for r in range(TH + 2):
+        acc = _conv_rows(a_row, w0_ref, b0_ref, (r,), col, c, w, dt)[0]
+        g = 0.5 * acc * (1.0 + _erf(acc * 0.7071067811865476))
+        val = g * s1 + h1
+        abs_ok = in_bounds(r + 1)  # conv0 row r == tile row r+1
+        m_rows.append(jnp.where(abs_ok, val, 0.0).astype(dt))
 
     def m_row(r):
-        """GELU + SFT1 + boundary zeroing of conv0 output row r (tile row
-        offset: c0_rows[r] is centred at absolute row i*TH - 1 + r)."""
-        g = jax.nn.gelu(c0_rows[r], approximate=False)
-        val = g * s1 + h1
-        abs_ok = in_bounds(r + 1)  # c0_rows[r] == tile row r+1
-        return jnp.where(abs_ok, val, 0.0)
-
-    c1_rows = _conv_rows(m_row, w1_ref, b1_ref, range(TH), col, c, w, dt)
+        return m_rows[r].astype(jnp.float32)
 
     for h in range(TH):
+        c1 = _conv_rows(m_row, w1_ref, b1_ref, (h,), col, c, w, dt)[0]
         resid = xtile[:, h + HALO, :].astype(jnp.float32)
-        out_ref[:, h, :] = (resid + c1_rows[h]).astype(dt)
+        out_ref[:, h, :] = (resid + c1).astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -145,6 +159,8 @@ def resblock_sft_chw(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
         out_shape=jax.ShapeDtypeStruct((c, h, w), x.dtype),
         scratch_shapes=[pltpu.VMEM((c, DMA_ROWS, w), x.dtype),
                         pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, w0, b0.reshape(c, 1).astype(jnp.float32),
       w1, b1.reshape(c, 1).astype(jnp.float32), sft)

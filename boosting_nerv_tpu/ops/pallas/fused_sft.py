@@ -73,8 +73,8 @@ def _conv_rows(tile_get, w_ref, bias_ref, out_rows, col, c, w, dt):
     return outs
 
 
-def _kernel(h_real, x_hbm, w0_ref, b0_ref, w1_ref, b1_ref, sft_ref,
-            out_ref, xtile, sem):
+def _kernel(h_real, input_sin, x_hbm, w0_ref, b0_ref, w1_ref, b1_ref,
+            sft_ref, out_ref, xtile, sem):
     """x_hbm: (C, Hp, W) input padded with HALO top rows and enough bottom
     rows for aligned DMA; sft_ref: (4, C, 1) = scale0, shift0, scale1,
     shift1; out_ref: (C, TH, W) block."""
@@ -99,10 +99,15 @@ def _kernel(h_real, x_hbm, w0_ref, b0_ref, w1_ref, b1_ref, sft_ref,
         abs_row = i * TH - HALO + r
         return (abs_row >= 0) & (abs_row < h_real)
 
+    def x_row(r):
+        """Block-input row r as f32 (optionally with the preceding
+        sinusoidal activation fused in)."""
+        x32 = xtile[:, r, :].astype(jnp.float32)
+        return jnp.sin(x32) if input_sin else x32
+
     def a_row(r):
         """SFT0 + frame-boundary zeroing, as f32 (conv0 input row r)."""
-        x32 = xtile[:, r, :].astype(jnp.float32)
-        val = x32 * s0 + h0
+        val = x_row(r) * s0 + h0
         return jnp.where(in_bounds(r), val, 0.0)
 
     # conv0 produces TH+2 rows (the block plus conv1's halo). Each row is
@@ -121,17 +126,18 @@ def _kernel(h_real, x_hbm, w0_ref, b0_ref, w1_ref, b1_ref, sft_ref,
 
     for h in range(TH):
         c1 = _conv_rows(m_row, w1_ref, b1_ref, (h,), col, c, w, dt)[0]
-        resid = xtile[:, h + HALO, :].astype(jnp.float32)
-        out_ref[:, h, :] = (resid + c1).astype(dt)
+        out_ref[:, h, :] = (x_row(h + HALO) + c1).astype(dt)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "input_sin"))
 def resblock_sft_chw(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
-                     interpret=False):
+                     interpret=False, input_sin=False):
     """Fused ResBlock_SFT on channels-major data.
 
     x: (C, H, W) bfloat16; w0/w1: (9, C, C) taps as (C_out, C_in) matrices
     in row-major (dy, dx) order; b0/b1: (C,); scale/shift: (C,).
+    `input_sin` fuses the preceding sinusoidal activation (the NeRVBlock
+    act before the TAT block) into the kernel prologue.
     Returns (C, H, W) bfloat16.
     """
     c, h, w = x.shape
@@ -142,7 +148,7 @@ def resblock_sft_chw(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
     xp = jnp.pad(x, ((0, 0), (HALO, hp - h - HALO), (0, 0)))
     sft = jnp.stack([scale0, shift0, scale1, shift1]).astype(jnp.float32)
     sft = sft[:, :, None]  # (4, C, 1)
-    kernel = functools.partial(_kernel, h)
+    kernel = functools.partial(_kernel, h, input_sin)
     return pl.pallas_call(
         kernel,
         grid=(grid,),

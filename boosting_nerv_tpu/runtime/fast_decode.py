@@ -1,0 +1,188 @@
+"""Serving-grade HNeRV-Boost decode path with a channels-major Pallas tail.
+
+The flax decode (models/hnerv.py) is a stack of sinusoidal NeRVBlocks; XLA
+runs each 1080p conv with ~4 ms of fixed layout overhead and separate
+elementwise passes. This runtime rebuilds the same computation from the raw
+parameter pytree:
+
+ - frame-index embedding, decoder stem and the low-resolution stages run in
+   XLA NHWC (they are tiny);
+ - once the feature map is large (H >= `pallas_from_h`), data switches to a
+   channels-major (C, H, W) layout and flows through the fused Pallas
+   kernels (ops/pallas): conv+sin, fused TAT residual block (with the
+   preceding sin folded into its prologue), and the head conv + OutImg —
+   one HBM round-trip per kernel instead of one per op.
+
+Supported config: HNeRV_Boost with conv_type[1] == pshuffel_3x3, act 'sin',
+sft_block 'res_sft', norm 'none' (the Boost paper configuration). The
+builder raises for anything else — callers fall back to the flax path.
+
+Everything is bfloat16 (weights cast once at build). Batch size 1 per call
+(the decode-FPS serving convention, reference model_hnerv.py:240-250).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import BoostConfig, decoder_stage_plan
+from ..ops.pallas.conv_chw import conv3x3_act_chw, head_conv_chw
+from ..ops.pallas.fused_sft import resblock_sft_chw
+from ..ops.pe import PEConfig, position_encoding
+
+DT = jnp.bfloat16
+
+
+def _dense(p, x, act=None):
+    y = x @ p["kernel"] + p["bias"]
+    return act(y) if act else y
+
+
+def _mlp_sin(tree, x, n_layers):
+    for i in range(n_layers):
+        x = jnp.sin(_dense(tree[f"TDense_{i}"]["Dense_0"], x))
+    return x
+
+
+def _sft_vectors(rsft, t_embed):
+    """scale/shift vectors of both SFT layers of a ResBlockSFT
+    (models/blocks.py SFTLayer: Dense -> relu -> Dense, twice). Note flax
+    numbers children by CONSTRUCTION order: in `TDense(out)(act(TDense(in)
+    (cond)))` the outer projection is TDense_0 and the inner is TDense_1."""
+    out = []
+    for li in (0, 1):
+        sft = rsft[f"SFTLayer_{li}"]
+        scale = _dense(sft["TDense_0"]["Dense_0"],
+                       jax.nn.relu(_dense(sft["TDense_1"]["Dense_0"], t_embed)))
+        shift = _dense(sft["TDense_2"]["Dense_0"],
+                       jax.nn.relu(_dense(sft["TDense_3"]["Dense_0"], t_embed)))
+        out.append((scale, shift))
+    return out
+
+
+def _conv_nhwc(p, x, pad):
+    return lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype), (1, 1),
+        [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["bias"].astype(x.dtype)
+
+
+def _w9(p):
+    """flax HWIO (3,3,Cin,Cout) -> (9, Cout, Cin) taps."""
+    k = p["kernel"]
+    return k.transpose(0, 1, 3, 2).reshape(9, k.shape[3], k.shape[2])
+
+
+def _rsft_w(rsft):
+    return (_w9(rsft["TConv_0"]["Conv_0"]), rsft["TConv_0"]["Conv_0"]["bias"],
+            _w9(rsft["TConv_1"]["Conv_0"]), rsft["TConv_1"]["Conv_0"]["bias"])
+
+
+def _d2s_nhwc(x, r):
+    from ..ops.pixelshuffle import depth_to_space
+
+    return depth_to_space(x, r)
+
+
+def _d2s_chw(x, r):
+    """(C*r*r, H, W) -> (C, H*r, W*r) matching the NHWC (r1, r2, c)
+    channel packing of ops/pixelshuffle.depth_to_space."""
+    if r == 1:
+        return x
+    crr, h, w = x.shape
+    c = crr // (r * r)
+    x = x.reshape(r, r, c, h, w)
+    x = x.transpose(2, 3, 0, 4, 1)
+    return x.reshape(c, h * r, w * r)
+
+
+def _rsft_apply_nhwc(rsft, x, t_embed):
+    (s0, h0), (s1, h1) = _sft_vectors(rsft, t_embed)
+    bc = lambda v: v[:, None, None, :].astype(x.dtype)
+    fea = x * (bc(s0) + 1) + bc(h0)
+    fea = _conv_nhwc(rsft["TConv_0"]["Conv_0"], fea, 1)
+    fea = jax.nn.gelu(fea, approximate=False)
+    fea = fea * (bc(s1) + 1) + bc(h1)
+    fea = _conv_nhwc(rsft["TConv_1"]["Conv_0"], fea, 1)
+    return x + fea
+
+
+def build_fast_decode(cfg: BoostConfig, params, pallas_from_h: int = 512,
+                      interpret: bool = False) -> Callable:
+    """Returns decode(embed, t) -> [1, H, W, 3] for B=1 inputs."""
+    if not (cfg.model == "HNeRV_Boost" and cfg.conv_type[1] == "pshuffel_3x3"
+            and cfg.act == "sin" and cfg.sft_block == "res_sft"
+            and cfg.norm == "none"):
+        raise ValueError("fast decode supports the HNeRV-Boost paper config "
+                         "(pshuffel_3x3 / sin / res_sft / no norm)")
+    p = params["params"] if "params" in params else params
+    p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, DT), p)
+    pe = PEConfig.from_string(cfg.embed, cfg.lfreq)
+    plan = decoder_stage_plan(cfg, cfg.fc_dim, hnerv_style=True)
+    _, ks1, ks2 = cfg.ks_triple
+
+    def decode(embed, t):
+        # --- conditioning (XLA, microscopic) --------------------------- #
+        pe_t = position_encoding(t, pe).astype(DT)
+        t_embed = _mlp_sin(p["stem_t"], pe_t, 2)
+
+        # --- stem: 1x1 conv + sin + TAT at fc resolution --------------- #
+        x = embed.astype(DT)
+        stem = p["stem"]
+        x = _conv_nhwc(stem["DownConv_0"]["TConv_0"]["Conv_0"], x, 0)
+        x = jnp.sin(x)
+        x = _rsft_apply_nhwc(stem["ResBlockSFT_0"], x, t_embed)
+
+        # --- upsampling stages ----------------------------------------- #
+        chw = None  # (C, H, W) once we switch layouts
+        for bi, spec in enumerate(plan):
+            blk = p[f"blocks_{bi}"]
+            conv = blk["UpConv_0"]["TConv_0"]["Conv_0"]
+            rsft = blk["ResBlockSFT_0"]
+            ks = min(spec.ks, 3)
+            out_h = (x.shape[1] if chw is None else chw.shape[1]) * spec.strd
+
+            if chw is None and out_h < pallas_from_h:
+                # small stage: plain XLA NHWC
+                x = _conv_nhwc(conv, x, (ks - 1) // 2)
+                x = _d2s_nhwc(x, spec.strd)
+                x = jnp.sin(x)
+                x = _rsft_apply_nhwc(rsft, x, t_embed)
+                continue
+
+            (s0v, h0v), (s1v, h1v) = _sft_vectors(rsft, t_embed)
+            w0, b0, w1, b1 = _rsft_w(rsft)
+            f32 = lambda v: v[0].astype(jnp.float32)
+
+            if chw is None:
+                # layout switch: run this upconv in XLA, transpose after
+                x = _conv_nhwc(conv, x, (ks - 1) // 2)
+                x = _d2s_nhwc(x, spec.strd)
+                chw = x[0].transpose(2, 0, 1)  # sin fused into the kernel
+                chw = resblock_sft_chw(chw, w0, b0, w1, b1, f32(s0v),
+                                       f32(h0v), f32(s1v), f32(h1v),
+                                       interpret=interpret, input_sin=True)
+            else:
+                if ks != 3:
+                    raise ValueError("pallas tail expects 3x3 convs")
+                chw = conv3x3_act_chw(chw, _w9(conv), conv["bias"],
+                                      interpret=interpret)
+                chw = _d2s_chw(chw, spec.strd)
+                chw = resblock_sft_chw(chw, w0, b0, w1, b1, f32(s0v),
+                                       f32(h0v), f32(s1v), f32(h1v),
+                                       interpret=interpret, input_sin=False)
+
+        head = p["head"]["Conv_0"]
+        if chw is None:
+            out = _conv_nhwc(head, x, 1)
+            return jnp.tanh(out) * 0.5 + 0.5
+        out = head_conv_chw(chw, _w9(head), head["bias"], interpret=interpret)
+        return out.transpose(1, 2, 0)[None]
+
+    return decode

@@ -64,9 +64,7 @@ def _conv_kernel(h_real, c_out, act, x_hbm, w_ref, b_ref, out_ref, xtile, sem):
 
 def _run(x, w9, b, c_out, act, interpret):
     c_in, h, w = x.shape
-    if h % TH:
-        raise ValueError(f"H={h} must be a multiple of {TH}")
-    grid = h // TH
+    grid = pl.cdiv(h, TH)  # ragged last block is clipped by pallas
     hp = (grid - 1) * TH + DMA_ROWS
     xp = jnp.pad(x, ((0, 0), (1, hp - h - 1), (0, 0)))
     kernel = functools.partial(_conv_kernel, h, c_out, act)

@@ -141,9 +141,7 @@ def resblock_sft_chw(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
     Returns (C, H, W) bfloat16.
     """
     c, h, w = x.shape
-    if h % TH:
-        raise ValueError(f"H={h} must be a multiple of {TH}")
-    grid = h // TH
+    grid = pl.cdiv(h, TH)  # ragged last block is clipped by pallas
     hp = (grid - 1) * TH + DMA_ROWS
     xp = jnp.pad(x, ((0, 0), (HALO, hp - h - HALO), (0, 0)))
     sft = jnp.stack([scale0, shift0, scale1, shift1]).astype(jnp.float32)

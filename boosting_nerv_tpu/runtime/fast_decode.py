@@ -115,7 +115,13 @@ def _rsft_apply_nhwc(rsft, x, t_embed):
 
 def build_fast_decode(cfg: BoostConfig, params, pallas_from_h: int = 512,
                       interpret: bool = False) -> Callable:
-    """Returns decode(embed, t) -> [1, H, W, 3] for B=1 inputs."""
+    """Returns decode(embed, t) -> [1, H, W, 3] for B=1 inputs.
+
+    The Pallas tail engages at the first stage whose output height reaches
+    `pallas_from_h` AND from which every remaining stage has a 128-aligned
+    output width (lane tiling) with 3x3 convs; otherwise those stages stay
+    in XLA. UVG 1080p: tail = final stage + head (960-wide intermediates
+    are not lane-aligned); bunny 720p: the last two stages qualify."""
     if not (cfg.model == "HNeRV_Boost" and cfg.conv_type[1] == "pshuffel_3x3"
             and cfg.act == "sin" and cfg.sft_block == "res_sft"
             and cfg.norm == "none"):
@@ -126,6 +132,25 @@ def build_fast_decode(cfg: BoostConfig, params, pallas_from_h: int = 512,
     pe = PEConfig.from_string(cfg.embed, cfg.lfreq)
     plan = decoder_stage_plan(cfg, cfg.fc_dim, hnerv_style=True)
     _, ks1, ks2 = cfg.ks_triple
+
+    # per-stage output sizes + first index from which the whole remaining
+    # chain is pallas-eligible (W % 128 == 0, 3x3 kernels after the switch)
+    out_hw = []
+    h_cur, w_cur = cfg.fc_h, cfg.fc_w
+    for spec in plan:
+        h_cur, w_cur = h_cur * spec.strd, w_cur * spec.strd
+        out_hw.append((h_cur, w_cur))
+    switch_at = len(plan)
+    w_align = 1 if interpret else 128  # lane tiling is a hardware constraint
+    for start in range(len(plan)):
+        if out_hw[start][0] < pallas_from_h:
+            continue
+        ok = all(out_hw[j][1] % w_align == 0 and
+                 (j == start or min(plan[j].ks, 3) == 3)
+                 for j in range(start, len(plan)))
+        if ok:
+            switch_at = start
+            break
 
     def decode(embed, t):
         # --- conditioning (XLA, microscopic) --------------------------- #
@@ -146,10 +171,9 @@ def build_fast_decode(cfg: BoostConfig, params, pallas_from_h: int = 512,
             conv = blk["UpConv_0"]["TConv_0"]["Conv_0"]
             rsft = blk["ResBlockSFT_0"]
             ks = min(spec.ks, 3)
-            out_h = (x.shape[1] if chw is None else chw.shape[1]) * spec.strd
 
-            if chw is None and out_h < pallas_from_h:
-                # small stage: plain XLA NHWC
+            if bi < switch_at:
+                # small/ineligible stage: plain XLA NHWC
                 x = _conv_nhwc(conv, x, (ks - 1) // 2)
                 x = _d2s_nhwc(x, spec.strd)
                 x = jnp.sin(x)

@@ -115,6 +115,7 @@ class BoostConfig:
     dp: int = 1          # data-parallel mesh size (frames axis)
     sp: int = 1          # spatial mesh size (H axis of decoder features)
     decode_dtype: str = "float32"  # "bfloat16" for the fast decode path
+    profile: bool = False  # capture a jax.profiler trace of early steps
 
     # ---- derived helpers -------------------------------------------------
     @property

@@ -57,3 +57,43 @@ def dequant_tensor(quant_t: Dict) -> np.ndarray:
     tm = np.asarray(quant_t["min"], np.float32)
     sc = np.asarray(quant_t["scale"], np.float32)
     return tm + sc * quant
+
+
+def _nonzero_minmax(rows: np.ndarray):
+    """Per-row (min, max) over non-zero entries; (0, 0) for all-zero rows
+    (the reference's sparse-aware grid, hnerv_utils.py:141-148)."""
+    mask = rows != 0
+    any_valid = mask.any(axis=1)
+    big = np.float32(np.inf)
+    mins = np.where(mask, rows, big).min(axis=1)
+    maxs = np.where(mask, rows, -big).max(axis=1)
+    mins = np.where(any_valid, mins, 0.0)
+    maxs = np.where(any_valid, maxs, 0.0)
+    return mins.astype(np.float32), maxs.astype(np.float32)
+
+
+def quantize_per_tensor(t: np.ndarray, bits: int = 8, axis: int = -1):
+    """Affine quantisation over the whole tensor or along axis 0/1, with
+    zeros excluded from the range fit (parity with `quantize_per_tensor`,
+    /root/reference/hnerv_utils.py:136-181). Returns
+    (quant, dequant, t_min, scale); min/scale are fp16."""
+    t = np.asarray(t, dtype=np.float32)
+    qmax = 2 ** bits - 1
+    if axis == -1:
+        valid = t[t != 0]
+        src = valid if valid.size else t.ravel()
+        t_min = np.float32(src.min())
+        scale = np.float32((src.max() - t_min) / qmax)
+    else:
+        moved = np.moveaxis(t, axis, 0).reshape(t.shape[axis], -1)
+        mins, maxs = _nonzero_minmax(moved)
+        shape = [1] * t.ndim
+        shape[axis] = t.shape[axis]
+        t_min = mins.reshape(shape)
+        scale = ((maxs - mins) / qmax).reshape(shape)
+    t_min = t_min.astype(np.float16)
+    scale = scale.astype(np.float16)
+    tm32, sc32 = t_min.astype(np.float32), scale.astype(np.float32)
+    quant = np.round((t - tm32) / (sc32 + _EPS))
+    new_t = tm32 + sc32 * quant
+    return quant, new_t, t_min, scale

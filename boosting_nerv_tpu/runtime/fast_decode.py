@@ -113,15 +113,17 @@ def _rsft_apply_nhwc(rsft, x, t_embed):
     return x + fea
 
 
-def build_fast_decode(cfg: BoostConfig, params, pallas_from_h: int = 512,
+def build_fast_decode(cfg: BoostConfig, params,
+                      pallas_from_h: int = 10 ** 9,
                       interpret: bool = False) -> Callable:
     """Returns decode(embed, t) -> [1, H, W, 3] for B=1 inputs.
 
     The Pallas tail engages at the first stage whose output height reaches
     `pallas_from_h` AND from which every remaining stage has a 128-aligned
     output width (lane tiling) with 3x3 convs; otherwise those stages stay
-    in XLA. UVG 1080p: tail = final stage + head (960-wide intermediates
-    are not lane-aligned); bunny 720p: the last two stages qualify."""
+    in XLA. Default is OFF (pure bf16 XLA rebuild, 74.7 ms/frame at UVG
+    1080p vs 88 ms for the flax path): the current row-dot kernels win in
+    isolation but lose in situ — see CLAUDE.md round-2 roadmap."""
     if not (cfg.model == "HNeRV_Boost" and cfg.conv_type[1] == "pshuffel_3x3"
             and cfg.act == "sin" and cfg.sft_block == "res_sft"
             and cfg.norm == "none"):

@@ -137,6 +137,17 @@ class RegressionTrainer:
 
         self.logger = logger or RunLogger(cfg.outf)
         self.start_epoch = max(cfg.start_epoch, 0)
+
+        # param accounting (reference train_nerv_all.py:238-243)
+        from flax.traverse_util import flatten_dict
+
+        flat = flatten_dict(jax.device_get(self.params))
+        self.encoder_param = sum(
+            int(np.prod(v.shape)) for k, v in flat.items()
+            if any("encoder" in str(s) for s in k)) / 1e6
+        self.decoder_param = params_m(self.params) - self.encoder_param
+        self.total_param = (self.decoder_param
+                            + getattr(cfg, "embed_param", 0.0) / 1e6)
         self.fps = 0.0
         self.bits_per_param = 0.0
         self.full_bits_per_param = 0.0
@@ -246,6 +257,7 @@ class RegressionTrainer:
         n_train_batches = max(len(self.train_ind) // cfg.batchSize, 1)
         t_start = time.time()
 
+        profiling = False
         for epoch in range(self.start_epoch, cfg.epochs):
             ep_start = time.time()
             psnr_accum = []
@@ -255,6 +267,21 @@ class RegressionTrainer:
             for i, batch in enumerate(batches):
                 if i > 10 and cfg.debug:
                     break
+                # optional step-trace capture (SURVEY.md §5.1: the reference
+                # has no profiler; we expose jax.profiler on steps 2-6)
+                if cfg.profile and epoch == self.start_epoch:
+                    try:
+                        if i == 2 and not profiling:
+                            jax.profiler.start_trace(
+                                os.path.join(cfg.outf, "profile"))
+                            profiling = True
+                        elif i == 7 and profiling:
+                            jax.profiler.stop_trace()
+                            profiling = False
+                            self.logger.print("profiler trace captured")
+                    except Exception as e:
+                        self.logger.print(f"profiler unavailable: {e}")
+                        profiling = False
                 progress = (epoch + i / n_train_batches) / cfg.epochs
                 lr = cfg.lr * lr_multiplier(
                     cfg.lr_type, progress, cur_iter=i, epochs=cfg.epochs,
@@ -490,7 +517,11 @@ class RegressionTrainer:
             "FPS": round(self.fps, 2), "Split": cfg.data_split,
             "Embed": cfg.embed, "Crop": cfg.crop_list,
             "Lr_type": cfg.lr_type, "LR (E-3)": cfg.lr * 1e3,
-            "Batch": cfg.batchSize, "ModelSize": cfg.modelsize,
+            "Batch": cfg.batchSize,
+            "Size (M)": f"{round(self.encoder_param, 2)}_"
+                        f"{round(self.decoder_param, 2)}_"
+                        f"{round(self.total_param, 2)}",
+            "ModelSize": cfg.modelsize,
             "Epoch": cfg.epochs, "Loss": cfg.loss, "Act": cfg.act,
             "Norm": cfg.norm, "FC": cfg.fc_hw, "Reduce": cfg.reduce,
             "ENC_type": cfg.conv_type[0],

@@ -79,6 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--encoder_file', default='', type=str)
     p.add_argument('--dump_values', action='store_true', default=False)
     p.add_argument('--dump_features', action='store_true', default=False)
+    p.add_argument('--profile', action='store_true', default=False,
+                   help='capture a jax.profiler trace of early train steps')
     # Distributed / parallel
     p.add_argument('--manualSeed', type=int, default=1)
     p.add_argument('-d', '--distributed', action='store_true', default=False)
@@ -140,7 +142,7 @@ def args_to_config(args):
         eval_fps=args.eval_fps, manualSeed=args.manualSeed,
         debug=args.debug, print_freq=args.print_freq, weight=args.weight,
         overwrite=args.overwrite, outf=outf, suffix=args.suffix,
-        dp=dp, sp=args.sp,
+        dp=dp, sp=args.sp, profile=args.profile,
     )
     return cfg
 

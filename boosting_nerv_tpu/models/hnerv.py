@@ -19,7 +19,7 @@ is available (model_hnerv.py:240), so benchmark `decode`, not `__call__`.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

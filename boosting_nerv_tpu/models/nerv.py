@@ -13,8 +13,6 @@ convolutions with elementwise epilogues.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -23,12 +23,10 @@ Everything is bfloat16 (weights cast once at build). Batch size 1 per call
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from ..config import BoostConfig, decoder_stage_plan

@@ -15,7 +15,7 @@ the trainer after evaluating the string schedule) or fixed at construction.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

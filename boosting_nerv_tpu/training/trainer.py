@@ -20,7 +20,6 @@ TPU-native design:
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Dict, List, Optional, Tuple
@@ -30,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import BoostConfig, model_expansion, resolve_sizes
+from ..config import BoostConfig, resolve_sizes
 from ..data.video import VideoData, data_split, make_inpaint_mask
 from ..models import build_model
 from ..ops.losses import loss_fn

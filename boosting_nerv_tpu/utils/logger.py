@@ -7,7 +7,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from datetime import datetime
-from typing import Dict, Optional
+from typing import Dict
 
 
 class RunLogger:

@@ -6,8 +6,6 @@ CLI-compatible with /root/reference/train_nerv_compression.py:30-159
 
 from __future__ import annotations
 
-import jax
-
 from train_nerv_all import args_to_config, build_parser
 
 

@@ -116,6 +116,10 @@ class BoostConfig:
     sp: int = 1          # spatial mesh size (H axis of decoder features)
     decode_dtype: str = "float32"  # "bfloat16" for the fast decode path
     profile: bool = False  # capture a jax.profiler trace of early steps
+    # fp32 matmuls during training: with the TPU default (1-pass bf16) the
+    # FFT-loss gradients diverge (measured: PSNR 10.4 -> 8.3 over 10 epochs
+    # vs 11.6 -> 18.6 at "highest"); the torch reference trains fp32
+    train_precision: str = "highest"
 
     # ---- derived helpers -------------------------------------------------
     @property

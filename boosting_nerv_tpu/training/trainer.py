@@ -101,6 +101,10 @@ class RegressionTrainer:
                  logger: Optional[RunLogger] = None):
         self.cfg0 = cfg
         np.random.seed(cfg.manualSeed)
+        # training numerics: the reference trains fp32; on TPU the default
+        # 1-pass-bf16 matmuls make the high-frequency (FFT) loss diverge
+        # (see BoostConfig.train_precision)
+        jax.config.update("jax_default_matmul_precision", cfg.train_precision)
 
         self.video = video if video is not None else VideoData.from_dir(
             cfg.data_path, cfg.crop_list, cfg.interpolation, cfg.embed_inter)

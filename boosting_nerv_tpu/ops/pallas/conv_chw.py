@@ -22,7 +22,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_sft import _shift_w
+from .fused_sft import _dot9, _shifted_triplet
 
 TH = 8
 DMA_ROWS = 16
@@ -41,20 +41,17 @@ def _conv_kernel(h_real, c_out, act, x_hbm, w_ref, b_ref, out_ref, xtile, sem):
 
     col = lax.broadcasted_iota(jnp.int32, (c_in, w), 1)
 
-    def in_row(r):
+    def in_bounds(r):
         abs_row = i * TH - 1 + r
-        ok = (abs_row >= 0) & (abs_row < h_real)
-        return jnp.where(ok, xtile[:, r, :].astype(jnp.float32), 0.0)
+        return (abs_row >= 0) & (abs_row < h_real)
+
+    # input rows masked + W-shifted once per tile
+    rows = [jnp.where(in_bounds(r), xtile[:, r, :].astype(jnp.float32), 0.0)
+            for r in range(TH + 2)]
+    trip = _shifted_triplet(rows, col, w, dt)
 
     for h in range(TH):
-        acc = jnp.zeros((c_out, w), jnp.float32)
-        for dy in range(3):
-            row32 = in_row(h + dy)
-            for dx in range(3):
-                shifted = _shift_w(row32, dx, col, w).astype(dt)
-                acc = acc + lax.dot(w_ref[dy * 3 + dx], shifted,
-                                    preferred_element_type=jnp.float32)
-        acc = acc + b_ref[:, :1]
+        acc = _dot9(trip, w_ref, b_ref, h, c_out, w)
         if act == "sin":
             acc = jnp.sin(acc)
         elif act == "out_tanh":

@@ -8,15 +8,17 @@ kernels plus several full-resolution elementwise passes; at 1080p each XLA
 conv carries ~4 ms of fixed layout/overhead cost (see CLAUDE.md baselines).
 
 This kernel runs the WHOLE block in one pass over a (C, H, W)
-channels-major layout: W rides the vector lanes (1920 = 15x128, no channel
-padding), tiles of TH=8 output rows stream through VMEM with a 2-row halo
-per conv, and each 3x3 conv is 9 accumulated (C_out, C_in) @ (C_in, W) row
-matmuls on the MXU with fp32 accumulation. The two tiny SFT Dense stacks
-that *produce* scale/shift from the t-embedding stay in XLA (they are
-microscopic); the kernel consumes the resulting per-channel vectors.
+channels-major layout: W rides the vector lanes (must be a multiple of
+128), tiles of TH=8 output rows stream through VMEM with a 2-row halo per
+conv, and each 3x3 conv is 9 accumulated (C_out, C_in) @ (C_in, W) row
+matmuls on the MXU with fp32 accumulation. All elementwise prologue work
+(optional preceding sin, SFT affine, boundary masks, the two W-shifted
+copies per row — lane rotates are 32-bit-only on this Mosaic, hence the
+f32 round-trip) is computed ONCE per tile and cached as bf16 rows.
 
-Constraints: batch 1 per call (the decode-serving fast path), W a multiple
-of 128, dtype bfloat16 in/out.
+The two tiny SFT Dense stacks that *produce* scale/shift from the
+t-embedding stay in XLA; the kernel consumes the resulting per-channel
+vectors. Batch 1 per call (the decode-serving convention).
 """
 
 from __future__ import annotations
@@ -47,30 +49,34 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _shift_w(row32, dx, col, w):
-    """Static W-shift with zero boundary; lane rotate is 32-bit only."""
-    if dx == 1:
-        return row32
-    if dx == 0:
-        return jnp.where(col == 0, 0.0, pltpu.roll(row32, 1, axis=1))
-    return jnp.where(col == w - 1, 0.0, pltpu.roll(row32, w - 1, axis=1))
+def _gelu(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _conv_rows(tile_get, w_ref, bias_ref, out_rows, col, c, w, dt):
-    """3x3 conv over `out_rows` output rows. tile_get(r) returns input row r
-    (already masked/activated) as (C, W) float32; returns list of (C, W)
-    float32 rows (bias added)."""
-    outs = []
-    for h in out_rows:
-        acc = jnp.zeros((c, w), jnp.float32)
-        for dy in range(3):
-            row32 = tile_get(h + dy)
-            for dx in range(3):
-                shifted = _shift_w(row32, dx, col, w).astype(dt)
-                acc = acc + lax.dot(w_ref[dy * 3 + dx], shifted,
-                                    preferred_element_type=jnp.float32)
-        outs.append(acc + bias_ref[:, :1])
-    return outs
+def _shifted_triplet(rows_f32, col, w, dt):
+    """For each f32 row, the (left, centre, right) W-shifted bf16 copies
+    with zero frame edges. Lane rotate is 32-bit only, so shifts happen on
+    the f32 rows, once per row."""
+    L, C_, R = [], [], []
+    for v in rows_f32:
+        C_.append(v.astype(dt))
+        L.append(jnp.where(col == 0, 0.0,
+                           pltpu.roll(v, 1, axis=1)).astype(dt))
+        R.append(jnp.where(col == w - 1, 0.0,
+                           pltpu.roll(v, w - 1, axis=1)).astype(dt))
+    return L, C_, R
+
+
+def _dot9(trip, w_ref, b_ref, o, c, w):
+    """One 3x3-conv output row (fp32, bias added) from cached shifted rows:
+    trip = (L, C, R) lists; input rows o, o+1, o+2."""
+    L, C_, R = trip
+    acc = jnp.zeros((c, w), jnp.float32)
+    for dy in range(3):
+        for dx, rows in ((0, L), (1, C_), (2, R)):
+            acc = acc + lax.dot(w_ref[dy * 3 + dx], rows[o + dy],
+                                preferred_element_type=jnp.float32)
+    return acc + b_ref[:, :1]
 
 
 def _kernel(h_real, input_sin, x_hbm, w0_ref, b0_ref, w1_ref, b1_ref,
@@ -99,34 +105,31 @@ def _kernel(h_real, input_sin, x_hbm, w0_ref, b0_ref, w1_ref, b1_ref,
         abs_row = i * TH - HALO + r
         return (abs_row >= 0) & (abs_row < h_real)
 
-    def x_row(r):
-        """Block-input row r as f32 (optionally with the preceding
-        sinusoidal activation fused in)."""
-        x32 = xtile[:, r, :].astype(jnp.float32)
-        return jnp.sin(x32) if input_sin else x32
+    # block-input rows (with the preceding sinusoidal activation fused in),
+    # computed once per tile
+    sx = []
+    for r in range(TH + 4):
+        v = xtile[:, r, :].astype(jnp.float32)
+        sx.append(jnp.sin(v) if input_sin else v)
 
-    def a_row(r):
-        """SFT0 + frame-boundary zeroing, as f32 (conv0 input row r)."""
-        val = x_row(r) * s0 + h0
-        return jnp.where(in_bounds(r), val, 0.0)
+    # conv0 input rows: SFT0 + frame-boundary zeroing (conv zero-padding
+    # applies AFTER the modulation)
+    a_rows = [jnp.where(in_bounds(r), sx[r] * s0 + h0, 0.0)
+              for r in range(TH + 4)]
+    a_trip = _shifted_triplet(a_rows, col, w, dt)
 
-    # conv0 produces TH+2 rows (the block plus conv1's halo). Each row is
-    # immediately pushed through GELU+SFT1 and stored as bf16 so the fp32
-    # accumulators die row by row (keeps the Mosaic VMEM stack small).
+    # conv0 -> GELU -> SFT1 (+ boundary zeroing), rows cached as bf16 so the
+    # fp32 accumulators die row by row
     m_rows = []
     for r in range(TH + 2):
-        acc = _conv_rows(a_row, w0_ref, b0_ref, (r,), col, c, w, dt)[0]
-        g = 0.5 * acc * (1.0 + _erf(acc * 0.7071067811865476))
-        val = g * s1 + h1
-        abs_ok = in_bounds(r + 1)  # conv0 row r == tile row r+1
-        m_rows.append(jnp.where(abs_ok, val, 0.0).astype(dt))
-
-    def m_row(r):
-        return m_rows[r].astype(jnp.float32)
+        acc = _dot9(a_trip, w0_ref, b0_ref, r, c, w)
+        val = _gelu(acc) * s1 + h1
+        m_rows.append(jnp.where(in_bounds(r + 1), val, 0.0))
+    m_trip = _shifted_triplet(m_rows, col, w, dt)
 
     for h in range(TH):
-        c1 = _conv_rows(m_row, w1_ref, b1_ref, (h,), col, c, w, dt)[0]
-        out_ref[:, h, :] = (x_row(h + HALO) + c1).astype(dt)
+        c1 = _dot9(m_trip, w1_ref, b1_ref, h, c, w)
+        out_ref[:, h, :] = (sx[h + HALO] + c1).astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "input_sin"))
@@ -168,3 +171,12 @@ def resblock_sft_chw(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
         interpret=interpret,
     )(xp, w0, b0.reshape(c, 1).astype(jnp.float32),
       w1, b1.reshape(c, 1).astype(jnp.float32), sft)
+
+
+def _shift_w(row32, dx, col, w):
+    """Static W-shift with zero boundary (kept for conv_chw)."""
+    if dx == 1:
+        return row32
+    if dx == 0:
+        return jnp.where(col == 0, 0.0, pltpu.roll(row32, 1, axis=1))
+    return jnp.where(col == w - 1, 0.0, pltpu.roll(row32, w - 1, axis=1))

@@ -49,6 +49,12 @@ def main():
         trainer.cur_epoch = cfg.epochs
         trainer.train_time = 0.0
         trainer.dump_csv('eval.csv')
+        import os
+
+        with open(os.path.join(cfg.outf, 'eval.txt'), 'a') as f:
+            f.write(' | '.join(f'best_{k}: {v:.4f}'
+                               for k, v in trainer.best_metrics.items())
+                    + '\n\n')
         return
 
     trainer.train()

@@ -18,10 +18,14 @@ Prints ONE JSON line:
    "vs_baseline": N / 45.0}
 
 vs_baseline anchors on the north-star target of 1.5x an A100-class PyTorch
-reference decode (BASELINE.md): the reference publishes no decode fps, so we
-assume 30 fps for a ~3M-param HNeRV-Boost at 1080p on A100 (HNeRV-class
-models decode at ~30-40 fps there), i.e. target 45 fps; vs_baseline >= 1.0
-means the target is met.
+reference decode. The reference publishes no decode fps and this box has no
+egress, so the 30 fps A100 anchor is pinned by a documented roofline
+derivation (BASELINE.md "Pinned decode-fps baseline"): eager fp32 decode of
+THIS config moves 21.4 GB/frame of feature maps (61-70 fps at effective
+HBM bandwidth) and costs 1 545 GFLOP/frame of convs (12.6 fps on fp32 CUDA
+cores, ~65 fps on TF32 tensor cores); eager execution lands in the 30-45
+fps band between those rooflines. Target = 1.5 x 30 = 45 fps;
+vs_baseline >= 1.0 means the target is met.
 """
 
 from __future__ import annotations

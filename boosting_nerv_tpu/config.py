@@ -84,6 +84,11 @@ class BoostConfig:
     quant_model_bit: int = 8
     quant_bias_bit: int = 8
     quant_embed_bit: int = 6
+    # dead flag, matched for CLI parity: the reference parses --quant_axis
+    # (train_nerv_all.py:92) but never consumes it — its PTQ path
+    # (hnerv_utils.py:101-134) does its own per-axis search, and the only
+    # would-be consumer quantize_per_tensor (hnerv_utils.py:136-181) is
+    # never called
     quant_axis: int = 0
     per_channel_w: bool = False
     per_channel_b: bool = False

@@ -1,0 +1,297 @@
+"""Per-tile K-stacked convolutions for the HNeRV-Boost decode tail (v2).
+
+Round-1 kernels (conv_chw.py / fused_sft.py) issued one MXU dot per OUTPUT
+ROW — (C_out, 9*C_in) @ (9*C_in, W) — and measured ~8 us/row against a
+~0.5 us MXU floor: at C_out ~ 61 the dot is M-starved and the per-row VPU
+prologue (casts, rolls, masks) dominates. This module reformulates the tail
+on a FLATTENED channels-major layout x: (C, H*W) where the whole spatial
+extent rides the lane axis:
+
+ - the dy (row-offset) taps of a conv become STATIC LANE SLICES at
+   dy*W offsets (multiples of 128 — aligned on the (8/16, 128) tiling);
+ - the dx (column-offset) taps become single lane rolls of the whole tile
+   region (f32 — Mosaic has no bf16 lane roll); rolls wrap across row
+   boundaries, and the frame-edge mask zeroes exactly those pixels;
+ - all k*k taps stack into ONE (C_out, k*k*C) @ (k*k*C, TH*W) MXU dot per
+   TH-row tile: K ~ 549 and N ~ 15360 at 1080p keep the MXU pipeline fed
+   (vs N = 1920, M = 61 before).
+
+Masks use FULL-SHAPE (Cpad, n) int32 row/col index planes passed in as
+resident VMEM inputs: no vector div/mod in-kernel, and no sublane
+broadcasts of lane-sliced 1-row arrays (Mosaic rejects their offset
+layouts — learned from the first version of this kernel). Activations with
+transcendentals (sin) stay OUTSIDE the kernels: Mosaic's scalarised f32 sin
+measured 5-8x slower than XLA's fused elementwise pass (round-1 numbers in
+CLAUDE.md). GELU inside the fused TAT block uses the Abramowitz-Stegun erf
+(no erf lowering in Mosaic).
+
+Matches /root/reference/model_blocks.py:74-105 (ResBlock_SFT) and the
+decoder stage convs of model_hnerv.py:224-251; layout and fusion are
+TPU-native design, not ports.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH = 8  # output rows per grid step
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7); Mosaic lowers exp."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+def _stack_weights(kernel, cpad, copad):
+    """flax HWIO (kh, kw, Cin, Cout) -> (Copad, kh*kw*Cpad) bf16 lhs whose
+    K order matches the slab order (dy-major, dx-minor, then channel)."""
+    kh, kw, cin, cout = kernel.shape
+    w = jnp.zeros((copad, kh * kw * cpad), jnp.float32)
+    k = kernel.astype(jnp.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            base = (dy * kw + dx) * cpad
+            w = w.at[:cout, base:base + cin].set(k[dy, dx].T)
+    return w.astype(jnp.bfloat16)
+
+
+def _index_planes(cpad, n_rows, w):
+    """(2, cpad, n_rows*w) int32 full-shape index planes:
+    [0] = row-in-region, [1] = col. Host-built; no in-kernel div/mod."""
+    r = np.repeat(np.arange(n_rows, dtype=np.int32), w)
+    c = np.tile(np.arange(w, dtype=np.int32), n_rows)
+    planes = np.stack([r, c])[:, None, :]
+    return jnp.asarray(np.broadcast_to(planes, (2, cpad, n_rows * w)).copy())
+
+
+def _slab(x32, rowp, colp, row_base, h_real, w_real, dy, dx, k, w, n, dt):
+    """One tap slab over the first n output lanes.
+
+    x32: (Cpad, L) f32 tile; rowp/colp: (Cpad, n) int32 OUTPUT row/col
+    planes. The slab at output lane l is x32[l + dy*w + sh] (sh = dx -
+    centre); it is zeroed when the SOURCE pixel (row_base + row + dy,
+    col + sh) falls outside the real frame — which also covers the roll
+    wrapping across row boundaries and the zero-padded columns."""
+    off = dy * w
+    v = lax.slice_in_dim(x32, off, off + n, axis=1)
+    sh = dx - (k - 1) // 2
+    if sh != 0:
+        v = pltpu.roll(v, (-sh) % n, axis=1)
+    src_row = rowp + (row_base + dy)
+    src_col = colp + sh
+    ok = ((src_row >= 0) & (src_row < h_real)
+          & (src_col >= 0) & (src_col < w_real))
+    return jnp.where(ok, v, 0.0).astype(dt)
+
+
+def _conv_kernel(k, h_real, w_real, w, n_in_rows, x_hbm, rc_ref, w_ref,
+                 b_ref, out_ref, xtile, stacked, sem):
+    """Generic kxk conv: ONE (Copad, k*k*Cpad) @ (k*k*Cpad, TH*w) dot.
+    x_hbm: (Cpad, Hp*w) with (k-1)//2 halo rows pre-padded on top;
+    rc_ref: (2, Cpad, TH*w) output row/col planes."""
+    cpad = xtile.shape[0]
+    nout = out_ref.shape[1]
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    lanes = n_in_rows * w
+    src = pl.multiple_of(i * TH * w, TH * w)
+    cp = pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes)], xtile, sem)
+    cp.start()
+    cp.wait()
+
+    halo = (k - 1) // 2
+    x32 = xtile[...].astype(jnp.float32)
+    rowp = rc_ref[0]
+    colp = rc_ref[1]
+    # source abs row of tap dy at output row r: i*TH + r + dy - halo
+    row_base = i * TH - halo
+
+    for dy in range(k):
+        for dx in range(k):
+            s = _slab(x32, rowp, colp, row_base, h_real, w_real,
+                      dy, dx, k, w, nout, dt)
+            stacked[pl.ds((dy * k + dx) * cpad, cpad), :] = s
+    acc = lax.dot(w_ref[...], stacked[...],
+                  preferred_element_type=jnp.float32)
+    out_ref[...] = (acc + b_ref[:, :1]).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w_real", "interpret"))
+def conv_tile(x, kernel, bias, *, k, w_real=None, interpret=False):
+    """kxk same-padded conv on channels-major data via per-tile K-stacked
+    MXU dots.
+
+    x: (C, H, W) bf16 with W % 128 == 0 (zero-pad ragged widths and pass
+    w_real); kernel: flax HWIO (k, k, C, Cout); bias: (Cout,).
+    Returns (Cout, H, W) bf16 (garbage in cols >= w_real — crop or mask
+    outside; rows are exact).
+    """
+    c, h, wd = x.shape
+    assert wd % 128 == 0, wd
+    w_real = wd if w_real is None else w_real
+    cpad = _round_up(c, 16)
+    copad = _round_up(kernel.shape[3], 16)
+    halo = (k - 1) // 2
+    grid = pl.cdiv(h, TH)
+    n_in_rows = TH + 2 * halo
+    hp = grid * TH + 2 * halo
+    xf = jnp.pad(x, ((0, cpad - c), (halo, hp - h - halo), (0, 0)))
+    xf = xf.reshape(cpad, hp * wd)
+    wstack = _stack_weights(kernel, cpad, copad)
+    b = jnp.zeros((copad, 1), jnp.float32).at[:kernel.shape[3], 0].set(
+        bias.astype(jnp.float32))
+    fn = functools.partial(_conv_kernel, k, h, w_real, wd, n_in_rows)
+    out = pl.pallas_call(
+        fn,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((copad, TH * wd), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((copad, h * wd), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((cpad, n_in_rows * wd), x.dtype),
+            pltpu.VMEM((k * k * cpad, TH * wd), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, _index_planes(cpad, TH, wd), wstack, b)
+    return out.reshape(copad, h, wd)[:kernel.shape[3]]
+
+
+# --------------------------------------------------------------------- #
+def _rsft_kernel(h_real, w_real, w, x_hbm, rc_ref, w0_ref, b0_ref, w1_ref,
+                 b1_ref, sft_ref, out_ref, xtile, stacked0, mrows, stacked1,
+                 sem):
+    """Fused ResBlock_SFT: SFT0 -> conv3x3 -> GELU -> SFT1 -> conv3x3 -> +x.
+
+    x_hbm: (Cpad, Hp*w) bf16, 2 halo rows pre-padded on top; the input is
+    the ALREADY-ACTIVATED NeRVBlock output (sin runs in XLA), so the
+    residual is the tile itself. rc_ref: (2, Cpad, (TH+2)*w) MID-region
+    row/col planes (mid row m is abs row i*TH - 1 + m); sft_ref:
+    (4, Cpad, 1) f32.
+    """
+    cpad = xtile.shape[0]
+    nmid = (TH + 2) * w
+    nout = TH * w
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    lanes = (TH + 4) * w
+    src = pl.multiple_of(i * TH * w, TH * w)
+    cp = pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes)], xtile, sem)
+    cp.start()
+    cp.wait()
+
+    s0 = sft_ref[0] + 1.0
+    h0 = sft_ref[1]
+    s1 = sft_ref[2] + 1.0
+    h1 = sft_ref[3]
+
+    x32 = xtile[...].astype(jnp.float32)
+    rowm = rc_ref[0]            # (Cpad, nmid): mid-region row index
+    colm = rc_ref[1]
+    rowo = lax.slice_in_dim(rowm, 0, nout, axis=1)
+    colo = lax.slice_in_dim(colm, 0, nout, axis=1)
+
+    a32 = x32 * s0 + h0  # SFT0 over the whole tile; slabs mask the edges
+    # conv0 output row m: abs i*TH - 1 + m; source of tap dy: + dy - 1,
+    # i.e. row_base = i*TH - 2 relative to the mid row plane
+    for dy in range(3):
+        for dx in range(3):
+            s = _slab(a32, rowm, colm, i * TH - 2, h_real, w_real,
+                      dy, dx, 3, w, nmid, dt)
+            stacked0[pl.ds((dy * 3 + dx) * cpad, cpad), :] = s
+    mid = lax.dot(w0_ref[...], stacked0[...],
+                  preferred_element_type=jnp.float32)
+    mid = _gelu(mid + b0_ref[:, :1]) * s1 + h1
+    # conv1 must see zero outside the frame (bias/shift pollute pad rows)
+    abs_m = rowm + (i * TH - 1)
+    ok_m = (abs_m >= 0) & (abs_m < h_real) & (colm < w_real)
+    mrows[...] = jnp.where(ok_m, mid, 0.0).astype(dt)
+
+    m32 = mrows[...].astype(jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            s = _slab(m32, rowo, colo, i * TH - 1, h_real, w_real,
+                      dy, dx, 3, w, nout, dt)
+            stacked1[pl.ds((dy * 3 + dx) * cpad, cpad), :] = s
+    res = lax.dot(w1_ref[...], stacked1[...],
+                  preferred_element_type=jnp.float32)
+    resid = lax.slice_in_dim(x32, 2 * w, 2 * w + nout, axis=1)
+    out_ref[...] = (res + b1_ref[:, :1] + resid).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("w_real", "interpret"))
+def resblock_sft_tile(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
+                      w_real=None, interpret=False):
+    """Fused TAT residual block, flattened K-stacked formulation.
+
+    x: (C, H, W) bf16 (already activated), W % 128 == 0; w0/w1: flax HWIO
+    (3, 3, C, C); scale/shift: (C,) f32 vectors from the t-embedding MLPs
+    (those stay in XLA). Returns (C, H, W) bf16.
+    """
+    c, h, wd = x.shape
+    assert wd % 128 == 0, wd
+    w_real = wd if w_real is None else w_real
+    cpad = _round_up(c, 16)
+    grid = pl.cdiv(h, TH)
+    hp = grid * TH + 4
+    xf = jnp.pad(x, ((0, cpad - c), (2, hp - h - 2), (0, 0)))
+    xf = xf.reshape(cpad, hp * wd)
+    ws0 = _stack_weights(w0, cpad, cpad)
+    ws1 = _stack_weights(w1, cpad, cpad)
+    bp0 = jnp.zeros((cpad, 1), jnp.float32).at[:c, 0].set(
+        b0.astype(jnp.float32))
+    bp1 = jnp.zeros((cpad, 1), jnp.float32).at[:c, 0].set(
+        b1.astype(jnp.float32))
+    sft = jnp.zeros((4, cpad), jnp.float32)
+    for j, v in enumerate((scale0, shift0, scale1, shift1)):
+        sft = sft.at[j, :c].set(v.astype(jnp.float32))
+    sft = sft[:, :, None]
+    fn = functools.partial(_rsft_kernel, h, w_real, wd)
+    out = pl.pallas_call(
+        fn,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((cpad, TH * wd), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cpad, h * wd), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((cpad, (TH + 4) * wd), x.dtype),
+            pltpu.VMEM((9 * cpad, (TH + 2) * wd), x.dtype),
+            pltpu.VMEM((cpad, (TH + 2) * wd), x.dtype),
+            pltpu.VMEM((9 * cpad, TH * wd), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, _index_planes(cpad, TH + 2, wd), ws0, bp0, ws1, bp1, sft)
+    return out.reshape(cpad, h, wd)[:c]

@@ -47,6 +47,16 @@ def _mysign(x):
     return jnp.where(x == 0, jnp.ones_like(x), jnp.sign(x))
 
 
+def _reject_per_channel(name: str, per_channel: bool):
+    """The reference's log/exp/multiscale transforms silently ignore
+    per_channel (transform_ops.py:307-310, 343-346, 377-379); we raise so
+    the flag can't silently no-op."""
+    if per_channel:
+        raise ValueError(
+            f"quantizer {name!r} does not support per_channel "
+            "(use lsq/lsqv2/scale/scalebeta/edgescale)")
+
+
 def qrange(bits: int, signed: bool) -> Tuple[int, int]:
     if signed:
         return -(2 ** (bits - 1)), 2 ** (bits - 1) - 1
@@ -58,18 +68,28 @@ def _range_scale(x: Array, bits: int, signed: bool) -> Array:
     return (x.max() - x.min()) / (qmax - qmin)
 
 
+def _per_channel_reduce(x, fn):
+    """Reduce over all axes except the channel axis (the out-channel = LAST
+    axis of a flax NHWC kernel). The reference's convention is dim 0 of
+    OIHW torch kernels (transform_ops.py:97-98) — the same out-channel,
+    different layout. 1-D tensors (biases) get the global statistic
+    broadcast per element, the reference's init (transform_ops.py:88-90)."""
+    if x.ndim > 1:
+        return fn(x, tuple(range(x.ndim - 1)))
+    return jnp.full((x.shape[0],), fn(x))
+
+
 def _per_channel_minmax_scale(x, bits, signed):
     qmin, qmax = qrange(bits, signed)
-    if x.ndim > 1:
-        axes = tuple(range(1, x.ndim))
-        return (x.max(axes) - x.min(axes)) / (qmax - qmin)
-    return jnp.full((x.shape[0],), (x.max() - x.min()) / (qmax - qmin))
+    hi = _per_channel_reduce(x, jnp.max)
+    lo = _per_channel_reduce(x, jnp.min)
+    return (hi - lo) / (qmax - qmin)
 
 
 def _bcast_ch(p: Array, x: Array) -> Array:
-    """Broadcast a per-channel (leading-axis) param over x's trailing dims."""
+    """Broadcast a per-channel (last-axis) param over x's leading dims."""
     if p.ndim == 1 and x.ndim > 1:
-        return p.reshape((-1,) + (1,) * (x.ndim - 1))
+        return p.reshape((1,) * (x.ndim - 1) + (-1,))
     return p
 
 
@@ -102,18 +122,29 @@ class ScaleQ(_Base):
 
 
 class ScaleBetaQ(_Base):
-    """Learned affine scale+offset (ScaleBeta_T, transform_ops.py:253-286)."""
+    """Learned affine scale+offset (ScaleBeta_T, transform_ops.py:253-286).
+
+    per_channel: one scale/beta per out-channel. (The reference's
+    per-channel init_form at transform_ops.py:268-271 is immediately
+    overwritten to scalars by init_data:273-280 — effectively dead; we
+    implement the intended behavior.)"""
 
     @staticmethod
     def init_params(x, bits, signed=True, per_channel=False) -> QP:
+        if per_channel:
+            return {"scale": _per_channel_minmax_scale(x, bits, signed),
+                    "beta": _per_channel_reduce(x, jnp.min)}
         return {"scale": _range_scale(x, bits, signed).reshape(1),
                 "beta": x.min().reshape(1)}
 
     @staticmethod
     def apply(x, qp, bits, signed=True, per_channel=False):
-        code = (x - qp["beta"]) / qp["scale"]
+        scale, beta = qp["scale"], qp["beta"]
+        if per_channel:
+            scale, beta = _bcast_ch(scale, x), _bcast_ch(beta, x)
+        code = (x - beta) / scale
         quant = ste(code)
-        return code, quant, quant * qp["scale"] + qp["beta"]
+        return code, quant, quant * scale + beta
 
 
 class LSQ(_Base):
@@ -139,10 +170,17 @@ class LSQ(_Base):
 
 
 class LSQV2(_Base):
-    """LSQ + learned offset beta (transform_ops.py:17-56)."""
+    """LSQ + learned offset beta (transform_ops.py:17-56).
+
+    per_channel: one scale/beta per out-channel (the reference's
+    per-channel init_form at transform_ops.py:33-36 is overwritten to
+    scalars by init_data:38-45; we implement the intended behavior)."""
 
     @staticmethod
     def init_params(x, bits, signed=True, per_channel=False) -> QP:
+        if per_channel:
+            return {"scale": _per_channel_minmax_scale(x, bits, signed),
+                    "beta": _per_channel_reduce(x, jnp.min)}
         return {"scale": _range_scale(x, bits, signed).reshape(1),
                 "beta": x.min().reshape(1)}
 
@@ -152,6 +190,8 @@ class LSQV2(_Base):
         g = 1.0 / jnp.sqrt(jnp.float32(qmax * x.size))
         s = grad_scale(qp["scale"], g)
         b = grad_scale(qp["beta"], g)
+        if per_channel:
+            s, b = _bcast_ch(s, x), _bcast_ch(b, x)
         code = jnp.clip((x - b) / s, qmin, qmax)
         quant = ste(code)
         return code, quant, quant * s + b
@@ -198,6 +238,7 @@ class MultiScaleQ(_Base):
 
     @staticmethod
     def init_params(x, bits, signed=True, per_channel=False) -> QP:
+        _reject_per_channel("multiscale", per_channel)
         n = MultiScaleQ.NUM_LIN
         scale = jnp.full((n,), (x.max() - x.min()) / 256.0)
         rng = jnp.arange(1, n, dtype=jnp.float32) * (jnp.abs(x).max() / n)
@@ -248,6 +289,7 @@ class LogQ(_Base):
 
     @staticmethod
     def init_params(x, bits, signed=True, per_channel=False) -> QP:
+        _reject_per_channel("log", per_channel)
         return {"scale": jnp.array([1.0 / 64]), "shift": jnp.array([-1.0]),
                 "inner_scale": (jnp.abs(x).max() / 1.718281828459045).reshape(1)}
 
@@ -269,6 +311,7 @@ class ExpQ(_Base):
 
     @staticmethod
     def init_params(x, bits, signed=True, per_channel=False) -> QP:
+        _reject_per_channel("exp", per_channel)
         return {"scale": jnp.array([1.0 / 64]), "shift": jnp.array([-1.0]),
                 "inner_scale": (jnp.abs(x).max() / 0.69314718056).reshape(1)}
 

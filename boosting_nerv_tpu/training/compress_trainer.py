@@ -62,6 +62,7 @@ class CompressionTrainer(RegressionTrainer):
         self.qparams = None
         self.embed_qp = None
         self.estimate_bpp = 0.0
+        self._resume_ck = None  # full CEM checkpoint picked up by init_qparams
 
         # target_bpp from the decoder+embedding budget
         # (train_nerv_compression.py:253)
@@ -95,12 +96,26 @@ class CompressionTrainer(RegressionTrainer):
                     per_channel=cfg.per_channel_b)
         self.qparams = qp
 
-        if cfg.embed_entropy and self.encode_step is not None:
+        # The reference attaches the embed quantizer whenever --quant for the
+        # HNeRV family and quantises the embedding on EVERY forward
+        # (model_hnerv.py:229-234); --embed_entropy only adds the rate term.
+        if cfg.is_hnerv_family and self.encode_step is not None:
             batch = self.video.get_batch([0])
             embed = self.encode_step(self.params, jnp.asarray(batch["img"]))
             self.embed_qp = self.e_quant.init_params(
                 embed, cfg.quant_embed_bit, signed=False,
                 per_channel=cfg.per_channel_e)
+
+        # resumed CEM run: learned quantiser state overrides the re-derived
+        # ranges (train_nerv_compression.py:427-433 resume semantics)
+        if self._resume_ck is not None:
+            saved = self._resume_ck["params"]
+            if isinstance(saved, dict) and "qp" in saved:
+                self.qparams = tree_restore(self.qparams, saved["qp"])
+                if (self.embed_qp is not None
+                        and saved.get("embed_qp") is not None):
+                    self.embed_qp = tree_restore(self.embed_qp,
+                                                 saved["embed_qp"])
 
         self._build_cem_step()
 
@@ -117,10 +132,13 @@ class CompressionTrainer(RegressionTrainer):
             ks = "/".join(map(str, k))
             if ks in qparams:
                 if str(k[-1]) == "kernel":
-                    Q, bits = self.w_quant, cfg.quant_model_bit
+                    Q, bits, pc = (self.w_quant, cfg.quant_model_bit,
+                                   cfg.per_channel_w)
                 else:
-                    Q, bits = self.b_quant, cfg.quant_bias_bit
-                code, quant, dequant = Q.apply(v, qparams[ks], bits, signed=True)
+                    Q, bits, pc = (self.b_quant, cfg.quant_bias_bit,
+                                   cfg.per_channel_b)
+                code, quant, dequant = Q.apply(v, qparams[ks], bits,
+                                               signed=True, per_channel=pc)
                 sub = jax.random.fold_in(key, i)
                 r = rate_bits(code, sub, training)
                 total_bits = total_bits + r["bitrate"]
@@ -148,10 +166,15 @@ class CompressionTrainer(RegressionTrainer):
                 if embed_qp is not None:
                     embed = self.model.apply(dq_params, img_in, method="encode")
                     code_e, quant_e, dequant_e = self.e_quant.apply(
-                        embed, embed_qp, cfg.quant_embed_bit, signed=False)
-                    r_e = rate_bits(code_e, jax.random.fold_in(key, 10_000),
-                                    training=True)
-                    bit_embed = r_e["bitrate"] * n_frames / img.shape[0]
+                        embed, embed_qp, cfg.quant_embed_bit, signed=False,
+                        per_channel=cfg.per_channel_e)
+                    if cfg.embed_entropy:
+                        r_e = rate_bits(code_e,
+                                        jax.random.fold_in(key, 10_000),
+                                        training=True)
+                        bit_embed = r_e["bitrate"] * n_frames / img.shape[0]
+                    else:
+                        bit_embed = 0.0
                     if cfg.model == "HNeRV_Boost":
                         out = self.model.apply(dq_params, dequant_e, t,
                                                method="decode")
@@ -184,6 +207,14 @@ class CompressionTrainer(RegressionTrainer):
             state["embed_qp"] = self.embed_qp
         self.state = state
         self.opt_state = self.opt.init(state)
+        if (self._resume_ck is not None
+                and self._resume_ck.get("opt_state") is not None):
+            try:
+                self.opt_state = tree_restore(self.opt_state,
+                                              self._resume_ck["opt_state"])
+            except ValueError as e:
+                self.logger.print(f"=> opt_state not restored ({e}); "
+                                  "reinitialised")
 
     # ------------------------------------------------------------------ #
     def train(self):
@@ -225,19 +256,25 @@ class CompressionTrainer(RegressionTrainer):
 
             self.params = self.state["model"]
             last = cfg.epochs - epoch
+            is_best = False
             if (epoch + 1) % cfg.eval_freq == 0 or last in (1, 3, 5):
                 results = self.evaluate_cem(coding=(last == 1))
                 msg = f"Eval at epoch {epoch + 1}: "
                 for k in METRIC_NAMES:
                     v = results[k]
-                    self.best_metrics[k] = max(self.best_metrics[k], v)
                     if k == "quant_seen_psnr":
+                        is_best = v >= self.best_metrics[k]
                         self.psnr_history.append(v)
+                    self.best_metrics[k] = max(self.best_metrics[k], v)
                     msg += f"{k}: {v:.4f} | "
                 self.logger.print(msg)
 
             save_checkpoint(os.path.join(cfg.outf, "model_latest.ckpt"),
                             epoch + 1, self.state, self.opt_state)
+            if is_best:
+                # best-metric checkpoint (train_nerv_compression.py:431-433)
+                save_checkpoint(os.path.join(cfg.outf, "model_best.ckpt"),
+                                epoch + 1, self.state, self.opt_state)
             if (epoch + 1) % cfg.epochs == 0:
                 save_checkpoint(os.path.join(cfg.outf, f"epoch{epoch + 1}.ckpt"),
                                 epoch + 1, self.state, self.opt_state)
@@ -274,11 +311,14 @@ class CompressionTrainer(RegressionTrainer):
                 if ks not in state["qp"]:
                     continue
                 if str(k[-1]) == "kernel":
-                    Q, bits = self.w_quant, cfg.quant_model_bit
+                    Q, bits, pc = (self.w_quant, cfg.quant_model_bit,
+                                   cfg.per_channel_w)
                 else:
-                    Q, bits = self.b_quant, cfg.quant_bias_bit
+                    Q, bits, pc = (self.b_quant, cfg.quant_bias_bit,
+                                   cfg.per_channel_b)
                 qp = jax.device_get(state["qp"][ks])
-                code, quant, _ = Q.apply(jnp.asarray(v), qp, bits, signed=True)
+                code, quant, _ = Q.apply(jnp.asarray(v), qp, bits,
+                                         signed=True, per_channel=pc)
                 quant_i = np.asarray(quant).astype(np.int32)
                 mean = float(np.asarray(code).mean())
                 std = float(np.asarray(code).std(ddof=1)) if code.size > 1 else 1e-5
@@ -304,8 +344,12 @@ class CompressionTrainer(RegressionTrainer):
                 embed = self.model.apply(dq_params, img, method="encode")
                 code_e, quant_e, dequant_e = self.e_quant.apply(
                     embed, jax.device_get(state["embed_qp"]),
-                    cfg.quant_embed_bit, signed=False)
-                if coding:
+                    cfg.quant_embed_bit, signed=False,
+                    per_channel=cfg.per_channel_e)
+                # embedding bits enter the bitstream accounting only under
+                # --embed_entropy (train_nerv_compression.py:511-517); the
+                # embedding is still decoded from its quantised form
+                if coding and cfg.embed_entropy:
                     qi = np.asarray(quant_e).astype(np.int32)
                     m = float(np.asarray(code_e).mean())
                     s = float(np.asarray(code_e).std(ddof=1))
@@ -355,8 +399,12 @@ class CompressionTrainer(RegressionTrainer):
         return results
 
     def maybe_resume(self):
-        """Compression resume: --weight loads {params} or a CEM {state}
-        checkpoint; auto-resume restores the full CEM state."""
+        """Compression resume: --weight warm-starts the model from a
+        regression {params} or CEM {state} checkpoint; auto-resume restores
+        the FULL CEM state — model + learned quantiser params + opt_state —
+        via `_resume_ck`, consumed by init_qparams/_build_cem_step
+        (the reference resumes the whole state_dict incl. quantiser modules,
+        train_nerv_compression.py:282-305, 427-433)."""
         cfg = self.cfg
         if cfg.weight not in ("None", "", None):
             ck = load_checkpoint(cfg.weight)
@@ -375,6 +423,7 @@ class CompressionTrainer(RegressionTrainer):
                 if isinstance(saved, dict) and "model" in saved:
                     self.params = self.mesh.replicate(
                         tree_restore(self.params, saved["model"]))
+                    self._resume_ck = ck  # qp/embed_qp/opt_state follow
                 else:
                     self.params = self.mesh.replicate(
                         tree_restore(self.params, saved))

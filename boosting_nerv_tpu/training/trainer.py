@@ -228,7 +228,12 @@ class RegressionTrainer:
 
     # ------------------------------------------------------------------ #
     def _device_batch(self, batch):
-        img = self.mesh.shard_batch(jnp.asarray(batch["img"]))
+        """Shard a host batch: frames over 'data', H (NHWC axis 1) over
+        'spatial' when --sp > 1. XLA SPMD inserts the conv halo exchanges
+        and the gradient psum (the DDP equivalent, SURVEY.md §5.8)."""
+        sp_ax = 1 if self.mesh.sp > 1 else None
+        img = self.mesh.shard_batch(jnp.asarray(batch["img"]),
+                                    spatial_axis=sp_ax)
         t = self.mesh.shard_batch(jnp.asarray(batch["norm_idx"]))
         return img, t
 
@@ -377,6 +382,11 @@ class RegressionTrainer:
         batch = self.video.get_batch(list(range(b)))
         if self.encode_step is not None:
             embed = self.encode_step(params, jnp.asarray(batch["img"]))
+            if self.mesh.sp > 1:
+                # spatially-sharded decode: embed H over the 'spatial' axis
+                embed = jax.device_put(
+                    embed, self.mesh.batch_sharding(embed.ndim,
+                                                    spatial_axis=1))
         else:
             embed = None
         decode = self.decode_step
@@ -427,8 +437,20 @@ class RegressionTrainer:
                 idx = batch["idx"]
 
                 if (model_ind == 1 and dequant_embeds is not None):
-                    # quant model decodes from the dequantised embedding
+                    # quant model decodes from the dequantised embedding;
+                    # interpolation val frames still use the neighbour
+                    # average, which OVERRIDES the dequantised embedding
+                    # (model_hnerv.py:236-237 applies pre/post after the
+                    # input_embed assignment; train_nerv_all.py:480-482)
                     e = jnp.asarray(dequant_embeds[idx])
+                    if (cfg.interpolation and cfg.embed_inter
+                            and self.encode_step is not None):
+                        pre = self.encode_step(p, jnp.asarray(batch["pre_img"]))
+                        post = self.encode_step(p, jnp.asarray(batch["post_img"]))
+                        is_val = jnp.asarray(
+                            [int(i) in self.val_ind_set for i in idx])
+                        e = jnp.where(is_val[:, None, None, None],
+                                      0.5 * (pre + post), e)
                     out = self.decode_step(p, e, t)
                     pv = np.asarray(psnr_per_frame(out, img))
                     sv = np.asarray(self._ssim_metric(out, img))

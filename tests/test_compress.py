@@ -83,6 +83,71 @@ class TestQuantizers:
         code, quant, _ = q.apply(x, qp, bits=8, signed=True)
         assert float(code.max()) <= 127 and float(code.min()) >= -128
 
+    PER_CHANNEL = ["scale", "scalebeta", "lsq", "lsqv2", "edgescale"]
+
+    @pytest.mark.parametrize("name", PER_CHANNEL)
+    def test_per_channel_roundtrip(self, name):
+        """One scale per out-channel (last axis of a flax NHWC kernel).
+        Channels with very different ranges must each quantise well — the
+        per-tensor scale would be dominated by the large channel."""
+        q = get_quantizer(name)
+        rng = np.random.default_rng(3)
+        # kernel (3,3,8,4): channel 0 tiny, channel 3 large
+        x = rng.normal(size=(3, 3, 8, 4)).astype(np.float32)
+        x *= np.asarray([0.001, 0.01, 0.1, 1.0], np.float32)
+        x = jnp.asarray(x)
+        signed = name != "lsqv2"
+        qp = q.init_params(x, bits=8, signed=signed, per_channel=True)
+        assert qp["scale"].shape == (4,)
+        code, quant, dequant = q.apply(x, qp, bits=8, signed=signed,
+                                       per_channel=True)
+        assert dequant.shape == x.shape
+        # per-channel must be accurate on the SMALL channel too
+        err_small = float(jnp.abs(dequant[..., 0] - x[..., 0]).max())
+        assert err_small < 5e-4, (name, err_small)
+
+        # and strictly better than per-tensor on that channel
+        qp_t = q.init_params(x, bits=8, signed=signed, per_channel=False)
+        _, _, dq_t = q.apply(x, qp_t, bits=8, signed=signed,
+                             per_channel=False)
+        err_t = float(jnp.abs(dq_t[..., 0] - x[..., 0]).max())
+        assert err_small < err_t, (name, err_small, err_t)
+
+    @pytest.mark.parametrize("name", PER_CHANNEL)
+    def test_per_channel_gradients(self, name):
+        q = get_quantizer(name)
+        x = _w(5, shape=(2, 2, 4, 6))
+        signed = name != "lsqv2"
+        qp = q.init_params(x, bits=8, signed=signed, per_channel=True)
+
+        def loss(qp):
+            _, _, dq = q.apply(x, qp, bits=8, signed=signed,
+                               per_channel=True)
+            return jnp.sum(dq ** 2)
+
+        g = jax.grad(loss)(qp)
+        assert g["scale"].shape == qp["scale"].shape
+        assert float(jnp.abs(g["scale"]).sum()) > 0
+
+    def test_per_channel_bias_is_per_element(self):
+        q = get_quantizer("lsq")
+        x = jnp.asarray([0.001, 0.5, -0.5])
+        qp = q.init_params(x, bits=8, signed=True, per_channel=True)
+        assert qp["scale"].shape == (3,)
+        # global range broadcast per element (transform_ops.py:88-90)
+        np.testing.assert_allclose(np.asarray(qp["scale"]),
+                                   np.full(3, 1.0 / 255), rtol=1e-5)
+        _, _, dq = q.apply(x, qp, bits=8, signed=True, per_channel=True)
+        assert float(jnp.abs(dq - x).max()) < 0.01
+
+    @pytest.mark.parametrize("name", ["log", "exp", "multiscale"])
+    def test_per_channel_unsupported_raises(self, name):
+        """The reference silently ignores per_channel for these transforms
+        (transform_ops.py:307-310,343-346,377-379); we refuse loudly."""
+        q = get_quantizer(name)
+        with pytest.raises(ValueError, match="per_channel"):
+            q.init_params(_w(6), bits=8, signed=True, per_channel=True)
+
 
 class TestEntropyModel:
     def test_bits_match_torch_reference(self):

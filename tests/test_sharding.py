@@ -101,6 +101,53 @@ class TestSpatialSharding:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestTrainerSpatialSharding:
+    def test_sp_flag_shards_real_training(self, tmp_path):
+        """--sp 2 must change the sharding of the actual trainer batch AND
+        keep the train step numerically equal to dp-only (VERDICT r1 #7)."""
+        import os
+
+        from boosting_nerv_tpu.config import BoostConfig
+        from boosting_nerv_tpu.data import VideoData, synthetic_video
+        from boosting_nerv_tpu.training.trainer import RegressionTrainer
+        from boosting_nerv_tpu.utils.logger import RunLogger
+
+        frames = synthetic_video(4, 8, 16)
+        base = dict(
+            model="HNeRV_Boost", embed="pe_1.25_20", fc_hw="2_4", fc_dim=12,
+            dec_strds=[2, 2], dec_blks=[1, 1], ks="0_1_5",
+            conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+            sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4,
+            enc_strds=[2, 2], enc_dim="8_4", enc_blks=1,
+            epochs=1, batchSize=4, lr=1e-3, loss="L2", eval_freq=1000,
+            not_resume=True)
+
+        results = {}
+        for tag, dp, sp in (("dp", 4, 1), ("dpsp", 2, 2)):
+            cfg = BoostConfig(**base, dp=dp, sp=sp,
+                              outf=os.path.join(str(tmp_path), tag))
+            video = VideoData(frames)
+            tr = RegressionTrainer(cfg, video=video,
+                                   logger=RunLogger(cfg.outf, enable_tb=False))
+            batch = video.get_batch(list(range(4)))
+            img, t = tr._device_batch(batch)
+            if sp > 1:
+                spec = img.sharding.spec
+                assert spec[0] == "data" and spec[1] == "spatial", spec
+            params, _, loss, _ = tr.train_step(
+                tr.params, tr.opt_state, img, t, jnp.float32(1e-3))
+            fps = tr.measure_fps(params, reps=2)
+            assert fps > 0
+            results[tag] = (jax.device_get(params), float(loss))
+
+        np.testing.assert_allclose(results["dp"][1], results["dpsp"][1],
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(results["dp"][0]),
+                        jax.tree_util.tree_leaves(results["dpsp"][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+
 class TestDryrunEntry:
     def test_graft_entry_dryrun(self):
         import __graft_entry__ as ge

@@ -1,0 +1,108 @@
+"""v2 per-tile K-stacked kernels (ops/pallas/tile_conv) vs XLA references,
+in interpret mode on CPU; plus the v2 fast-decode runtime vs the flax
+decode on a small HNeRV-Boost config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from boosting_nerv_tpu.ops.pallas.tile_conv import conv_tile, resblock_sft_tile
+
+rng = np.random.default_rng(0)
+
+
+def _ref_conv(x_chw, kern, bias, k):
+    x = x_chw.transpose(1, 2, 0)[None].astype(jnp.float32)
+    pad = (k - 1) // 2
+    y = lax.conv_general_dilated(
+        x, kern.astype(jnp.float32), (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return (y[0] + bias).transpose(2, 0, 1)
+
+
+class TestConvTile:
+    @pytest.mark.parametrize("c,co,h,wreal,k", [
+        (5, 7, 11, 128, 3),
+        (5, 7, 11, 100, 3),    # ragged width -> in-kernel mask
+        (6, 4, 9, 100, 5),
+        (8, 8, 17, 128, 5),
+        (3, 12, 8, 256, 3),    # multi-lane-tile width
+    ])
+    def test_matches_xla(self, c, co, h, wreal, k):
+        wd = -(-wreal // 128) * 128
+        x = jnp.asarray(rng.normal(size=(c, h, wreal)).astype(np.float32))
+        kern = jnp.asarray(
+            rng.normal(size=(k, k, c, co)).astype(np.float32) * 0.2)
+        bias = jnp.asarray(rng.normal(size=(co,)).astype(np.float32) * 0.1)
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, wd - wreal))).astype(jnp.bfloat16)
+        out = conv_tile(xp, kern, bias, k=k, w_real=wreal, interpret=True)
+        ref = _ref_conv(x.astype(jnp.bfloat16).astype(jnp.float32),
+                        kern, bias, k)
+        err = float(jnp.abs(out[:, :, :wreal].astype(jnp.float32) - ref).max())
+        assert err < 0.05 * max(float(jnp.abs(ref).max()), 1.0), err
+
+
+def _ref_rsft(x, w0, b0, w1, b1, s0, h0, s1, h1):
+    xf = x.transpose(1, 2, 0)[None].astype(jnp.float32)
+
+    def cv(pk, pb, v):
+        return lax.conv_general_dilated(
+            v, pk.astype(jnp.float32), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + pb
+
+    fea = xf * (s0 + 1) + h0
+    fea = cv(w0, b0, fea)
+    fea = jax.nn.gelu(fea, approximate=False)
+    fea = fea * (s1 + 1) + h1
+    fea = cv(w1, b1, fea)
+    return (xf + fea)[0].transpose(2, 0, 1)
+
+
+class TestResBlockSFTTile:
+    @pytest.mark.parametrize("c,h,wreal", [(5, 11, 128), (6, 19, 100),
+                                           (4, 9, 250)])
+    def test_matches_xla(self, c, h, wreal):
+        wd = -(-wreal // 128) * 128
+        x = jnp.asarray(rng.normal(size=(c, h, wreal)).astype(np.float32))
+        w0 = jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2)
+        w1 = jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.2)
+        b0 = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+        s0, h0, s1, h1 = [
+            jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.3)
+            for _ in range(4)]
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, wd - wreal))).astype(jnp.bfloat16)
+        out = resblock_sft_tile(xp, w0, b0, w1, b1, s0, h0, s1, h1,
+                                w_real=wreal, interpret=True)
+        ref = _ref_rsft(x.astype(jnp.bfloat16).astype(jnp.float32),
+                        w0, b0, w1, b1, s0, h0, s1, h1)
+        err = float(jnp.abs(out[:, :, :wreal].astype(jnp.float32) - ref).max())
+        assert err < 0.05 * max(float(jnp.abs(ref).max()), 1.0), err
+
+
+class TestFastDecodeV2:
+    def test_matches_flax_decode(self):
+        from boosting_nerv_tpu.config import BoostConfig
+        from boosting_nerv_tpu.models import build_model
+        from boosting_nerv_tpu.runtime.fast_decode import build_fast_decode_v2
+
+        cfg = BoostConfig(
+            model="HNeRV_Boost", embed="pe_1.25_20", fc_dim=12,
+            dec_strds=[2, 2], dec_blks=[1, 2], ks="0_1_5",
+            conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+            sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4,
+            enc_strds=[2, 2], enc_dim="8_4")
+        model = build_model(cfg)
+        img = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)).astype(np.float32))
+        t = jnp.array([0.4])
+        params = model.init(jax.random.key(0), img, t)
+        embed = model.apply(params, img, method="encode")
+        ref = model.apply(params, embed, t, method="decode")
+
+        dec = build_fast_decode_v2(cfg, params, tile_from_h=1,
+                                   interpret=True)
+        out = dec(embed, t)
+        err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+        assert err < 0.02, err  # bf16 pipeline on [0,1] pixels

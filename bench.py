@@ -85,12 +85,12 @@ def _timed_scan(decode_fn, embed, n: int) -> float:
 
 def main():
     cfg, model, params, embed = _build()
-    # serving path: the bf16 runtime decode rebuild (runtime/fast_decode);
-    # measured 74.7 ms/frame vs 88 ms for the straight flax apply. The
-    # Pallas tail stays off until its im2col rewrite beats XLA (CLAUDE.md).
-    from boosting_nerv_tpu.runtime.fast_decode import build_fast_decode
+    # serving path: the v3 pre-shifted-tile Pallas decode (fused sin /
+    # OutImg epilogues, double-buffered halo DMA) — measured 47.5 ms/frame
+    # vs 73.4 for the bf16 XLA rebuild (tools/tile_v3_decode_probe.py).
+    from boosting_nerv_tpu.runtime.fast_decode import build_fast_decode_v3
 
-    decode_fn = build_fast_decode(cfg, params, pallas_from_h=10 ** 9)
+    decode_fn = build_fast_decode_v3(cfg, params, tile_from_h=135)
     # one 20-step scan (~1.5 s device time) vs ~0.7 ms dispatch RTT: the
     # fixed overhead is <0.1%, no differencing needed
     n = 20

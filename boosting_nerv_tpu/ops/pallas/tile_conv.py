@@ -186,6 +186,330 @@ def conv_tile(x, kernel, bias, *, k, w_real=None, interpret=False):
 
 
 # --------------------------------------------------------------------- #
+# v3: pre-shifted tiles.  The v2 kernels above pay ~10 VPU ops per element
+# per tap (cast, roll, two index adds, four compares, and, select) x 9 taps.
+# v3 computes the three dx-shifted copies of the tile ONCE (the lane-roll
+# wrap across row boundaries lands exactly on the column-masked lanes, and
+# out-of-frame rows are zero because the HBM halo is zero-padded), after
+# which every tap (dy, dx) is a STATIC lane slice of shifted[dx] at offset
+# dy*W.  Two consumption strategies, selected by `mode`:
+#   'stack' — copy the 9 slices into the (9*Cpad, TH*W) scratch (1 VPU op
+#             per element) and issue ONE K-stacked MXU dot (K ~ 576);
+#   'acc'   — no copies at all: 9 accumulated (Copad, Cpad) @ (Cpad, n)
+#             dots on the slices (K = Cpad, ~25% MXU util at C=61).
+# --------------------------------------------------------------------- #
+
+
+_SIN_C = (9.9999999597e-01, -1.6666665043e-01, 8.3333145055e-03,
+          -1.9840310909e-04, 2.7532288434e-06, -2.4701576478e-08,
+          1.3533151796e-10)
+def _sin_poly(x):
+    """sin via round-to-nearest 2*pi range reduction + odd deg-13 poly
+    (max err 4e-9 on [-pi, pi]); ~20 VPU ops vs Mosaic's scalarised
+    native sin (measured 5-8x slower than XLA's)."""
+    k = jnp.round(x * (1.0 / (2.0 * np.pi)))
+    r = x - k * 6.2831854820251465
+    r = r - k * (-1.7484556000744883e-07)  # two-step: 2*pi = hi + lo
+    r2 = r * r
+    acc = _SIN_C[6]
+    for c in _SIN_C[5::-1]:
+        acc = acc * r2 + c
+    return r * acc
+
+
+def _outimg(x):
+    """tanh(x)*0.5 + 0.5 == sigmoid(2x) (OutImg head, ops/losses.py)."""
+    return 1.0 / (1.0 + jnp.exp(-2.0 * x))
+
+
+_ACTS = {"none": lambda v: v, "sin": _sin_poly, "outimg": _outimg,
+         "gelu": _gelu}
+
+
+def _preshift(x32, colp, w_real, dt):
+    """(x at dx=-1, dx=0, dx=+1) as dt arrays; colp is the col-index plane
+    of the SAME region. Shifted copies are exact at every lane whose source
+    column is inside the real frame, zero otherwise."""
+    xm = jnp.where(colp > 0, pltpu.roll(x32, 1, axis=1), 0.0)
+    xp = jnp.where(colp < w_real - 1,
+                   pltpu.roll(x32, x32.shape[1] - 1, axis=1), 0.0)
+    return xm.astype(dt), x32.astype(dt), xp.astype(dt)
+
+
+def _conv_kernel_v3(k, h_real, w_real, w, n_in_rows, mode, act, x_hbm,
+                    colp_ref, w_ref, b_ref, out_ref, xtile, shbuf, stacked,
+                    sem):
+    """k x k conv via pre-shifted tiles.
+
+    x_hbm: (Cpad, Hp*w) bf16 with (k-1)//2 zero halo rows pre-padded top and
+    bottom — out-of-frame rows need no masking. colp_ref: (Cpad, lanes)
+    int32 column plane of the input region. shbuf: (k, Cpad, lanes) dt
+    scratch holding the dx-shifted copies. With mode='acc', `stacked` is a
+    1-element dummy."""
+    cpad = xtile.shape[1]
+    nout = out_ref.shape[1]
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    lanes = n_in_rows * w
+    th = nout // w
+
+    def cp(step, slot):
+        src = pl.multiple_of(step * th * w, th * w)
+        return pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes)],
+                                     xtile.at[slot], sem.at[slot])
+
+    slot = lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cp(i, slot).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        cp(i + 1, 1 - slot).start()
+
+    cp(i, slot).wait()
+
+    x32 = xtile[slot].astype(jnp.float32)
+    if k == 3:
+        xm, x0, xp = _preshift(x32, colp_ref[...], w_real, dt)
+        shbuf[0] = xm
+        shbuf[1] = x0
+        shbuf[2] = xp
+    else:  # k == 1
+        shbuf[0] = x32.astype(dt)
+
+    if mode == "stack":
+        for dy in range(k):
+            for dx in range(k):
+                sl = lax.slice_in_dim(shbuf[dx], dy * w, dy * w + nout,
+                                      axis=1)
+                stacked[pl.ds((dy * k + dx) * cpad, cpad), :] = sl
+        acc = lax.dot(w_ref[...], stacked[...],
+                      preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((w_ref.shape[1], nout), jnp.float32)
+        for dy in range(k):
+            for dx in range(k):
+                sl = lax.slice_in_dim(shbuf[dx], dy * w, dy * w + nout,
+                                      axis=1)
+                acc = acc + lax.dot(
+                    w_ref[dy * k + dx], sl,
+                    preferred_element_type=jnp.float32)
+    out_ref[...] = _ACTS[act](acc + b_ref[:, :1]).astype(dt)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w_real", "th", "mode", "act",
+                                    "interpret"))
+def conv_tile_v3(x, kernel, bias, *, k, w_real=None, th=TH, mode="stack",
+                 act="none", interpret=False):
+    """k x k same-padded conv, pre-shifted-tile formulation (see header).
+
+    x: (C, H, W) bf16, W % 128 == 0 (zero-pad ragged widths, pass w_real);
+    kernel: flax HWIO; bias: (Cout,). Returns (Cout, H, W) bf16 with
+    garbage in cols >= w_real.
+    """
+    c, h, wd = x.shape
+    assert wd % 128 == 0, wd
+    assert k in (1, 3), k
+    w_real = wd if w_real is None else w_real
+    cpad = _round_up(c, 16)
+    copad = _round_up(kernel.shape[3], 16)
+    halo = (k - 1) // 2
+    grid = pl.cdiv(h, th)
+    n_in_rows = th + 2 * halo
+    hp = grid * th + 2 * halo
+    xf = jnp.pad(x, ((0, cpad - c), (halo, hp - h - halo), (0, 0)))
+    xf = xf.reshape(cpad, hp * wd)
+    b = jnp.zeros((copad, 1), jnp.float32).at[:kernel.shape[3], 0].set(
+        bias.astype(jnp.float32))
+    if mode == "stack":
+        wop = _stack_weights(kernel, cpad, copad)
+        stacked_shape = (k * k * cpad, th * wd)
+    else:
+        # (k*k, Copad, Cpad) per-tap lhs blocks (tap.T = (Cout, Cin))
+        kk = kernel.astype(jnp.float32)
+        wop = jnp.zeros((k * k, copad, cpad), jnp.float32)
+        for dy in range(k):
+            for dx in range(k):
+                wop = wop.at[dy * k + dx, :kernel.shape[3], :c].set(
+                    kk[dy, dx].T)
+        wop = wop.astype(jnp.bfloat16)
+        stacked_shape = (8, 128)  # dummy
+    colp = _index_planes(cpad, n_in_rows, wd)[1]
+    fn = functools.partial(_conv_kernel_v3, k, h, w_real, wd, n_in_rows,
+                           mode, act)
+    out = pl.pallas_call(
+        fn,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((copad, th * wd), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((copad, h * wd), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, cpad, n_in_rows * wd), x.dtype),
+            pltpu.VMEM((k if k == 3 else 1, cpad, n_in_rows * wd), x.dtype),
+            pltpu.VMEM(stacked_shape, x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, colp, wop, b)
+    return out.reshape(copad, h, wd)[:kernel.shape[3]]
+
+
+def _rsft_kernel_v3(h_real, w_real, w, mode, x_hbm, rc_ref, w0_ref, b0_ref,
+                    w1_ref, b1_ref, sft_ref, out_ref, xtile, shbuf, mrows,
+                    stacked, sem):
+    """Fused ResBlock_SFT, pre-shifted-tile formulation.
+
+    x_hbm: (Cpad, Hp*w) bf16, 2 zero halo rows top and bottom. rc_ref:
+    (2, Cpad, (TH+4)*w) FULL-region row/col planes (region row r is abs row
+    i*TH - 2 + r). SFT0 shifts out-of-frame zeros to h0, so the region is
+    re-masked once before pre-shifting (v2 masked per tap instead)."""
+    cpad = xtile.shape[1]
+    nmid = (TH + 2) * w
+    nout = TH * w
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    lanes = (TH + 4) * w
+
+    def cp(step, slot):
+        src = pl.multiple_of(step * TH * w, TH * w)
+        return pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes)],
+                                     xtile.at[slot], sem.at[slot])
+
+    slot = lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cp(i, slot).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        cp(i + 1, 1 - slot).start()
+
+    cp(i, slot).wait()
+
+    s0 = sft_ref[0] + 1.0
+    h0 = sft_ref[1]
+    s1 = sft_ref[2] + 1.0
+    h1 = sft_ref[3]
+
+    x32 = xtile[slot].astype(jnp.float32)
+    rowr = rc_ref[0]            # (Cpad, lanes) region row plane
+    colr = rc_ref[1]
+    abs_r = rowr + (i * TH - 2)
+    in_frame = (abs_r >= 0) & (abs_r < h_real) & (colr < w_real)
+
+    a32 = jnp.where(in_frame, x32 * s0 + h0, 0.0)
+    am, a0, ap = _preshift(a32, colr, w_real, dt)
+    shbuf[0] = am
+    shbuf[1] = a0
+    shbuf[2] = ap
+
+    colm = lax.slice_in_dim(colr, 0, nmid, axis=1)
+
+    def conv9(src_buf, wref, n):
+        if mode == "stack":
+            for dy in range(3):
+                for dx in range(3):
+                    sl = lax.slice_in_dim(src_buf[dx], dy * w, dy * w + n,
+                                          axis=1)
+                    stacked[pl.ds((dy * 3 + dx) * cpad, cpad), :n] = sl
+            return lax.dot(wref[...],
+                           lax.slice_in_dim(stacked[...], 0, n, axis=1),
+                           preferred_element_type=jnp.float32)
+        acc = jnp.zeros((cpad, n), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                sl = lax.slice_in_dim(src_buf[dx], dy * w, dy * w + n, axis=1)
+                acc = acc + lax.dot(wref[dy * 3 + dx], sl,
+                                    preferred_element_type=jnp.float32)
+        return acc
+
+    mid = conv9(shbuf, w0_ref, nmid)
+    mid = _gelu(mid + b0_ref[:, :1]) * s1 + h1
+    # conv1 must see zero outside the frame (bias/shift pollute pad rows)
+    in_frame_m = lax.slice_in_dim(in_frame, w, w + nmid, axis=1)
+    m32 = jnp.where(in_frame_m, mid, 0.0)
+    mm, m0, mp = _preshift(m32, colm, w_real, dt)
+    mrows[0] = mm
+    mrows[1] = m0
+    mrows[2] = mp
+
+    res = conv9(mrows, w1_ref, nout)
+    resid = lax.slice_in_dim(x32, 2 * w, 2 * w + nout, axis=1)
+    out_ref[...] = (res + b1_ref[:, :1] + resid).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("w_real", "mode", "interpret"))
+def resblock_sft_tile_v3(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
+                         w_real=None, mode="stack", interpret=False):
+    """Fused TAT residual block, pre-shifted-tile formulation.
+
+    Same contract as resblock_sft_tile; `mode` picks the MXU strategy
+    ('stack' = one K-stacked dot per conv, 'acc' = 9 accumulated dots)."""
+    c, h, wd = x.shape
+    assert wd % 128 == 0, wd
+    w_real = wd if w_real is None else w_real
+    cpad = _round_up(c, 16)
+    grid = pl.cdiv(h, TH)
+    hp = grid * TH + 4
+    xf = jnp.pad(x, ((0, cpad - c), (2, hp - h - 2), (0, 0)))
+    xf = xf.reshape(cpad, hp * wd)
+
+    def _wop(kk):
+        if mode == "stack":
+            return _stack_weights(kk, cpad, cpad)
+        k32 = kk.astype(jnp.float32)
+        wop = jnp.zeros((9, cpad, cpad), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                # lhs of dot(w, x): (Cout, Cin) = tap.T
+                wop = wop.at[dy * 3 + dx, :c, :c].set(k32[dy, dx].T)
+        return wop.astype(jnp.bfloat16)
+
+    ws0, ws1 = _wop(w0), _wop(w1)
+    bp0 = jnp.zeros((cpad, 1), jnp.float32).at[:c, 0].set(
+        b0.astype(jnp.float32))
+    bp1 = jnp.zeros((cpad, 1), jnp.float32).at[:c, 0].set(
+        b1.astype(jnp.float32))
+    sft = jnp.zeros((4, cpad), jnp.float32)
+    for j, v in enumerate((scale0, shift0, scale1, shift1)):
+        sft = sft.at[j, :c].set(v.astype(jnp.float32))
+    sft = sft[:, :, None]
+    stacked_shape = ((9 * cpad, (TH + 2) * wd) if mode == "stack"
+                     else (8, 128))
+    fn = functools.partial(_rsft_kernel_v3, h, w_real, wd, mode)
+    out = pl.pallas_call(
+        fn,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((cpad, TH * wd), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cpad, h * wd), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, cpad, (TH + 4) * wd), x.dtype),
+            pltpu.VMEM((3, cpad, (TH + 4) * wd), x.dtype),
+            pltpu.VMEM((3, cpad, (TH + 2) * wd), x.dtype),
+            pltpu.VMEM(stacked_shape, x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, _index_planes(cpad, TH + 4, wd), ws0, bp0, ws1, bp1, sft)
+    return out.reshape(cpad, h, wd)[:c]
+
+
+# --------------------------------------------------------------------- #
 def _rsft_kernel(h_real, w_real, w, x_hbm, rc_ref, w0_ref, b0_ref, w1_ref,
                  b1_ref, sft_ref, out_ref, xtile, stacked0, mrows, stacked1,
                  sem):

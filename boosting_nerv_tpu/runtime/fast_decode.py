@@ -214,6 +214,104 @@ def build_fast_decode_v2(cfg: BoostConfig, params, tile_from_h: int = 200,
     return decode
 
 
+def build_fast_decode_v3(cfg: BoostConfig, params, tile_from_h: int = 200,
+                         interpret: bool = False) -> Callable:
+    """v3: pre-shifted-tile kernels with FUSED activations.
+
+    sin commutes with depth_to_space, so each tiled upconv emits
+    sin(conv(x)) from the kernel epilogue (polynomial sin — Mosaic's native
+    sin is 5-8x slower than XLA's); d2s stays in XLA as a pure relayout;
+    the head conv fuses OutImg (tanh*0.5+0.5 == sigmoid(2x)). One HBM
+    round-trip per kernel, no elementwise interludes.
+    """
+    if not (cfg.model == "HNeRV_Boost" and cfg.conv_type[1] == "pshuffel_3x3"
+            and cfg.act == "sin" and cfg.sft_block == "res_sft"
+            and cfg.norm == "none"):
+        raise ValueError("fast decode supports the HNeRV-Boost paper config "
+                         "(pshuffel_3x3 / sin / res_sft / no norm)")
+    from ..ops.pallas.tile_conv import conv_tile_v3, resblock_sft_tile_v3
+
+    p = params["params"] if "params" in params else params
+    p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, DT), p)
+    pe = PEConfig.from_string(cfg.embed, cfg.lfreq)
+    plan = decoder_stage_plan(cfg, cfg.fc_dim, hnerv_style=True)
+
+    out_hw = []
+    h_cur, w_cur = cfg.fc_h, cfg.fc_w
+    for spec in plan:
+        h_cur, w_cur = h_cur * spec.strd, w_cur * spec.strd
+        out_hw.append((h_cur, w_cur))
+
+    def _pad_w(a, wreal):
+        wd = -(-wreal // 128) * 128
+        return (jnp.pad(a, ((0, 0), (0, 0), (0, wd - wreal)))
+                if wd != a.shape[2] else a)
+
+    def decode(embed, t):
+        pe_t = position_encoding(t, pe).astype(DT)
+        t_embed = _mlp_sin(p["stem_t"], pe_t, 2)
+
+        x = embed.astype(DT)
+        stem = p["stem"]
+        x = _conv_nhwc(stem["DownConv_0"]["TConv_0"]["Conv_0"], x, 0)
+        x = jnp.sin(x)
+        x = _rsft_apply_nhwc(stem["ResBlockSFT_0"], x, t_embed)
+
+        chw = None
+        wreal = None
+        for bi, spec in enumerate(plan):
+            blk = p[f"blocks_{bi}"]
+            conv = blk["UpConv_0"]["TConv_0"]["Conv_0"]
+            rsft = blk["ResBlockSFT_0"]
+            ks = min(spec.ks, 3)  # pshuffel_3x3 clamps (model_blocks.py:203)
+            (s0v, h0v), (s1v, h1v) = _sft_vectors(rsft, t_embed)
+            f32 = lambda v: v[0].astype(jnp.float32)
+
+            if chw is None and out_hw[bi][0] < tile_from_h:
+                x = _conv_nhwc(conv, x, (ks - 1) // 2)
+                x = _d2s_nhwc(x, spec.strd)
+                x = jnp.sin(x)
+                x = _rsft_apply_nhwc(rsft, x, t_embed)
+                continue
+
+            if chw is None:
+                # switch stage: upconv+d2s still in XLA (input is small)
+                x = _conv_nhwc(conv, x, (ks - 1) // 2)
+                x = _d2s_nhwc(x, spec.strd)
+                chw = jnp.sin(x[0].transpose(2, 0, 1))
+                wreal = chw.shape[2]
+                chw = _pad_w(chw, wreal)
+            else:
+                chw = conv_tile_v3(chw, conv["kernel"], conv["bias"], k=ks,
+                                   w_real=wreal, act="sin",
+                                   interpret=interpret)
+                if spec.strd > 1:
+                    chw = _d2s_chw(chw, spec.strd)
+                    wreal = wreal * spec.strd
+                    wd = -(-wreal // 128) * 128
+                    if wd != chw.shape[2]:
+                        chw = chw[:, :, :wd]
+
+            chw = resblock_sft_tile_v3(
+                chw, rsft["TConv_0"]["Conv_0"]["kernel"],
+                rsft["TConv_0"]["Conv_0"]["bias"],
+                rsft["TConv_1"]["Conv_0"]["kernel"],
+                rsft["TConv_1"]["Conv_0"]["bias"],
+                f32(s0v), f32(h0v), f32(s1v), f32(h1v),
+                w_real=wreal, interpret=interpret)
+
+        head = p["head"]["Conv_0"]
+        if chw is None:
+            out = _conv_nhwc(head, x, 1)
+            return jnp.tanh(out) * 0.5 + 0.5
+        out = conv_tile_v3(chw, head["kernel"], head["bias"], k=3,
+                           w_real=wreal, act="outimg", interpret=interpret)
+        out = out[:, :, :wreal]
+        return out.transpose(1, 2, 0)[None].astype(DT)
+
+    return decode
+
+
 def build_fast_decode(cfg: BoostConfig, params,
                       pallas_from_h: int = 10 ** 9,
                       interpret: bool = False) -> Callable:

@@ -1,0 +1,69 @@
+"""TPU probe: v3 fused-activation tile decode vs v1 XLA rebuild, UVG-1080p.
+Run from /root/repo with NO PYTHONPATH:
+  python -c "exec(open('tools/tile_v3_decode_probe.py').read())"
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from boosting_nerv_tpu.config import BoostConfig, resolve_sizes
+from boosting_nerv_tpu.models import build_model
+from boosting_nerv_tpu.runtime.fast_decode import (build_fast_decode,
+                                                   build_fast_decode_v3)
+
+print("devices:", jax.devices(), flush=True)
+
+cfg = BoostConfig(
+    model="HNeRV_Boost", embed="pe_1.25_80", enc_strds=[5, 3, 2, 2, 2],
+    enc_dim="64_16", dec_strds=[5, 3, 2, 2, 2], dec_blks=[1, 1, 2, 2, 2],
+    ks="0_1_5", reduce=1.2, lower_width=12, modelsize=2.8,
+    conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+    sft_block="res_sft", ch_t=32, crop_list="1080_1920")
+cfg = resolve_sizes(cfg, final_size=1920 * 1080, full_data_length=120)
+
+model = build_model(cfg)
+img = jnp.zeros((1, 1080, 1920, 3), jnp.float32)
+t = jnp.asarray([0.5], jnp.float32)
+params = model.init(jax.random.key(0), img, t)
+embed = jax.jit(lambda p, i: model.apply(p, i, method="encode"))(params, img)
+print("embed", embed.shape, flush=True)
+
+
+def timed(decode_fn, n=20, tag=""):
+    @jax.jit
+    def decode_n(embed, ts):
+        def body(c, tt):
+            out = decode_fn(embed + c * 1e-12, tt[None])
+            return c + out.astype(jnp.float32).mean(), None
+        acc, _ = lax.scan(body, 0.0, ts)
+        return acc
+
+    ts = jnp.linspace(0.01, 1.0, n)
+    t0 = time.perf_counter()
+    float(decode_n(embed, ts))
+    print(f"  [{tag}] compile+first: {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(decode_n(embed, ts))
+        best = min(best, time.perf_counter() - t0)
+    print(f"  [{tag}] {best/n*1e3:.2f} ms/frame ({n/best:.2f} fps)",
+          flush=True)
+    return best / n
+
+
+d1 = build_fast_decode(cfg, params, pallas_from_h=10 ** 9)
+o1 = jax.jit(d1)(embed, t)
+for tile_from in (1081, 540, 270, 135):
+    tag = f"v3 tile_from_h={tile_from}"
+    d3 = build_fast_decode_v3(cfg, params, tile_from_h=tile_from)
+    o3 = jax.jit(d3)(embed, t)
+    err = float(jnp.abs(o3.astype(jnp.float32) - o1.astype(jnp.float32)).max())
+    print(f"{tag}: max|v3-v1| = {err:.4f}", flush=True)
+    timed(d3, tag=tag)
+
+timed(d1, tag="v1 xla rebuild")

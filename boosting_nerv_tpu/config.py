@@ -123,8 +123,14 @@ class BoostConfig:
     profile: bool = False  # capture a jax.profiler trace of early steps
     # fp32 matmuls during training: with the TPU default (1-pass bf16) the
     # FFT-loss gradients diverge (measured: PSNR 10.4 -> 8.3 over 10 epochs
-    # vs 11.6 -> 18.6 at "highest"); the torch reference trains fp32
+    # vs 11.6 -> 18.6 at "highest"); the torch reference trains fp32.
+    # "high" (3-pass bf16) measured convergence-identical and is the
+    # recommended speed knob at >=720p.
     train_precision: str = "highest"
+    # rematerialize the forward in the backward pass (jax.checkpoint):
+    # trades ~30% step time for activation memory, enabling 1080p training
+    # and larger frame batches on a single chip
+    remat: bool = False
 
     # ---- derived helpers -------------------------------------------------
     @property

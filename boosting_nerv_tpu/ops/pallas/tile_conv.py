@@ -200,19 +200,21 @@ def conv_tile(x, kernel, bias, *, k, w_real=None, interpret=False):
 # --------------------------------------------------------------------- #
 
 
-_SIN_C = (9.9999999597e-01, -1.6666665043e-01, 8.3333145055e-03,
-          -1.9840310909e-04, 2.7532288434e-06, -2.4701576478e-08,
-          1.3533151796e-10)
+_SIN_C = (9.9998458677e-01, -1.6663258204e-01, 8.3123829338e-03,
+          -1.9316182196e-04, 2.1732100681e-06)
+
+
 def _sin_poly(x):
-    """sin via round-to-nearest 2*pi range reduction + odd deg-13 poly
-    (max err 4e-9 on [-pi, pi]); ~20 VPU ops vs Mosaic's scalarised
-    native sin (measured 5-8x slower than XLA's)."""
+    """sin via round-to-nearest 2*pi range reduction + odd deg-9 minimax
+    poly (max err 1.7e-5 on [-pi, pi] -- an order below bf16 output
+    resolution); ~12 VPU ops vs Mosaic's scalarised native sin (measured
+    5-8x slower than XLA's)."""
     k = jnp.round(x * (1.0 / (2.0 * np.pi)))
     r = x - k * 6.2831854820251465
     r = r - k * (-1.7484556000744883e-07)  # two-step: 2*pi = hi + lo
     r2 = r * r
-    acc = _SIN_C[6]
-    for c in _SIN_C[5::-1]:
+    acc = _SIN_C[4]
+    for c in _SIN_C[3::-1]:
         acc = acc * r2 + c
     return r * acc
 
@@ -234,6 +236,28 @@ def _preshift(x32, colp, w_real, dt):
     xp = jnp.where(colp < w_real - 1,
                    pltpu.roll(x32, x32.shape[1] - 1, axis=1), 0.0)
     return xm.astype(dt), x32.astype(dt), xp.astype(dt)
+
+
+def _preshift_into(buf, x32, colp, w_real, dt, cpad):
+    """Write the dx=-1/0/+1 shifted copies into the contiguous (3*Cpad, L)
+    scratch `buf` (dx-major row blocks) so that for every row offset dy the
+    K=3*Cpad rhs of the conv dot is ONE static slice buf[:, dy*w:dy*w+n]."""
+    xm, x0, xp = _preshift(x32, colp, w_real, dt)
+    buf[pl.ds(0, cpad), :] = xm
+    buf[pl.ds(cpad, cpad), :] = x0
+    buf[pl.ds(2 * cpad, cpad), :] = xp
+
+
+def _stack_weights_dy(kernel, cpad, copad):
+    """flax HWIO (k, k, Cin, Cout) -> (k, Copad, k*Cpad) bf16 per-dy lhs
+    blocks whose K order matches _preshift_into's dx-major row blocks."""
+    kh, kw, cin, cout = kernel.shape
+    w = jnp.zeros((kh, copad, kw * cpad), jnp.float32)
+    k32 = kernel.astype(jnp.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            w = w.at[dy, :cout, dx * cpad:dx * cpad + cin].set(k32[dy, dx].T)
+    return w.astype(jnp.bfloat16)
 
 
 def _conv_kernel_v3(k, h_real, w_real, w, n_in_rows, mode, act, x_hbm,
@@ -271,6 +295,21 @@ def _conv_kernel_v3(k, h_real, w_real, w, n_in_rows, mode, act, x_hbm,
     cp(i, slot).wait()
 
     x32 = xtile[slot].astype(jnp.float32)
+    if mode == "dy3":
+        # NOTE a software-pipelined variant (pre-shift of tile i+1 under
+        # pl.when, dynamic-slot shbuf) measured STRICTLY SLOWER on v5e
+        # (6.8 vs 5.1 ms conv51@1080): dynamic-major-index vector
+        # stores/loads defeat Mosaic's addressing. Keep the simple form.
+        if k == 3:
+            _preshift_into(shbuf, x32, colp_ref[...], w_real, dt, cpad)
+        else:
+            shbuf[pl.ds(0, cpad), :] = x32.astype(dt)
+        acc = jnp.zeros((w_ref.shape[1], nout), jnp.float32)
+        for dy in range(k):
+            acc = acc + lax.dot(w_ref[dy], shbuf[:, pl.ds(dy * w, nout)],
+                                preferred_element_type=jnp.float32)
+        out_ref[...] = _ACTS[act](acc + b_ref[:, :1]).astype(dt)
+        return
     if k == 3:
         xm, x0, xp = _preshift(x32, colp_ref[...], w_real, dt)
         shbuf[0] = xm
@@ -324,9 +363,14 @@ def conv_tile_v3(x, kernel, bias, *, k, w_real=None, th=TH, mode="stack",
     xf = xf.reshape(cpad, hp * wd)
     b = jnp.zeros((copad, 1), jnp.float32).at[:kernel.shape[3], 0].set(
         bias.astype(jnp.float32))
+    shbuf_shape = (k if k == 3 else 1, cpad, n_in_rows * wd)
     if mode == "stack":
         wop = _stack_weights(kernel, cpad, copad)
         stacked_shape = (k * k * cpad, th * wd)
+    elif mode == "dy3":
+        wop = _stack_weights_dy(kernel, cpad, copad)
+        stacked_shape = (8, 128)  # dummy
+        shbuf_shape = (k * cpad, n_in_rows * wd)
     else:
         # (k*k, Copad, Cpad) per-tap lhs blocks (tap.T = (Cout, Cin))
         kk = kernel.astype(jnp.float32)
@@ -352,7 +396,7 @@ def conv_tile_v3(x, kernel, bias, *, k, w_real=None, th=TH, mode="stack",
         out_shape=jax.ShapeDtypeStruct((copad, h * wd), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, cpad, n_in_rows * wd), x.dtype),
-            pltpu.VMEM((k if k == 3 else 1, cpad, n_in_rows * wd), x.dtype),
+            pltpu.VMEM(shbuf_shape, x.dtype),
             pltpu.VMEM(stacked_shape, x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -363,24 +407,24 @@ def conv_tile_v3(x, kernel, bias, *, k, w_real=None, th=TH, mode="stack",
     return out.reshape(copad, h, wd)[:kernel.shape[3]]
 
 
-def _rsft_kernel_v3(h_real, w_real, w, mode, x_hbm, rc_ref, w0_ref, b0_ref,
-                    w1_ref, b1_ref, sft_ref, out_ref, xtile, shbuf, mrows,
-                    stacked, sem):
+def _rsft_kernel_v3(h_real, w_real, w, mode, th, x_hbm, rc_ref, w0_ref,
+                    b0_ref, w1_ref, b1_ref, sft_ref, out_ref, xtile, shbuf,
+                    mrows, stacked, sem):
     """Fused ResBlock_SFT, pre-shifted-tile formulation.
 
     x_hbm: (Cpad, Hp*w) bf16, 2 zero halo rows top and bottom. rc_ref:
-    (2, Cpad, (TH+4)*w) FULL-region row/col planes (region row r is abs row
-    i*TH - 2 + r). SFT0 shifts out-of-frame zeros to h0, so the region is
+    (2, Cpad, (th+4)*w) FULL-region row/col planes (region row r is abs row
+    i*th - 2 + r). SFT0 shifts out-of-frame zeros to h0, so the region is
     re-masked once before pre-shifting (v2 masked per tap instead)."""
     cpad = xtile.shape[1]
-    nmid = (TH + 2) * w
-    nout = TH * w
+    nmid = (th + 2) * w
+    nout = th * w
     dt = out_ref.dtype
     i = pl.program_id(0)
-    lanes = (TH + 4) * w
+    lanes = (th + 4) * w
 
     def cp(step, slot):
-        src = pl.multiple_of(step * TH * w, TH * w)
+        src = pl.multiple_of(step * th * w, th * w)
         return pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes)],
                                      xtile.at[slot], sem.at[slot])
 
@@ -404,16 +448,38 @@ def _rsft_kernel_v3(h_real, w_real, w, mode, x_hbm, rc_ref, w0_ref, b0_ref,
     x32 = xtile[slot].astype(jnp.float32)
     rowr = rc_ref[0]            # (Cpad, lanes) region row plane
     colr = rc_ref[1]
-    abs_r = rowr + (i * TH - 2)
+    colm = lax.slice_in_dim(colr, 0, nmid, axis=1)
+    abs_r = rowr + (i * th - 2)
     in_frame = (abs_r >= 0) & (abs_r < h_real) & (colr < w_real)
 
     a32 = jnp.where(in_frame, x32 * s0 + h0, 0.0)
+
+    if mode == "dy3":
+        # (a software-pipelined variant measured slower — see
+        # _conv_kernel_v3)
+        _preshift_into(shbuf, a32, colr, w_real, dt, cpad)
+
+        def convdy(buf, wref, n):
+            acc = jnp.zeros((cpad, n), jnp.float32)
+            for dy in range(3):
+                acc = acc + lax.dot(wref[dy], buf[:, pl.ds(dy * w, n)],
+                                    preferred_element_type=jnp.float32)
+            return acc
+
+        mid = convdy(shbuf, w0_ref, nmid)
+        mid = _gelu(mid + b0_ref[:, :1]) * s1 + h1
+        in_frame_m = lax.slice_in_dim(in_frame, w, w + nmid, axis=1)
+        m32 = jnp.where(in_frame_m, mid, 0.0)
+        _preshift_into(mrows, m32, colm, w_real, dt, cpad)
+        res = convdy(mrows, w1_ref, nout)
+        resid = lax.slice_in_dim(x32, 2 * w, 2 * w + nout, axis=1)
+        out_ref[...] = (res + b1_ref[:, :1] + resid).astype(dt)
+        return
+
     am, a0, ap = _preshift(a32, colr, w_real, dt)
     shbuf[0] = am
     shbuf[1] = a0
     shbuf[2] = ap
-
-    colm = lax.slice_in_dim(colr, 0, nmid, axis=1)
 
     def conv9(src_buf, wref, n):
         if mode == "stack":
@@ -448,25 +514,30 @@ def _rsft_kernel_v3(h_real, w_real, w, mode, x_hbm, rc_ref, w0_ref, b0_ref,
     out_ref[...] = (res + b1_ref[:, :1] + resid).astype(dt)
 
 
-@functools.partial(jax.jit, static_argnames=("w_real", "mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("w_real", "th", "mode",
+                                              "interpret"))
 def resblock_sft_tile_v3(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
-                         w_real=None, mode="stack", interpret=False):
+                         w_real=None, th=TH, mode="stack", interpret=False):
     """Fused TAT residual block, pre-shifted-tile formulation.
 
     Same contract as resblock_sft_tile; `mode` picks the MXU strategy
-    ('stack' = one K-stacked dot per conv, 'acc' = 9 accumulated dots)."""
+    ('stack' = one K-stacked dot per conv, 'acc' = 9 accumulated dots,
+    'dy3' = contiguous dx-major pre-shift buffer, one K=3*Cpad dot per row
+    offset, zero slab copies)."""
     c, h, wd = x.shape
     assert wd % 128 == 0, wd
     w_real = wd if w_real is None else w_real
     cpad = _round_up(c, 16)
-    grid = pl.cdiv(h, TH)
-    hp = grid * TH + 4
+    grid = pl.cdiv(h, th)
+    hp = grid * th + 4
     xf = jnp.pad(x, ((0, cpad - c), (2, hp - h - 2), (0, 0)))
     xf = xf.reshape(cpad, hp * wd)
 
     def _wop(kk):
         if mode == "stack":
             return _stack_weights(kk, cpad, cpad)
+        if mode == "dy3":
+            return _stack_weights_dy(kk, cpad, cpad)
         k32 = kk.astype(jnp.float32)
         wop = jnp.zeros((9, cpad, cpad), jnp.float32)
         for dy in range(3):
@@ -484,28 +555,34 @@ def resblock_sft_tile_v3(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
     for j, v in enumerate((scale0, shift0, scale1, shift1)):
         sft = sft.at[j, :c].set(v.astype(jnp.float32))
     sft = sft[:, :, None]
-    stacked_shape = ((9 * cpad, (TH + 2) * wd) if mode == "stack"
+    stacked_shape = ((9 * cpad, (th + 2) * wd) if mode == "stack"
                      else (8, 128))
-    fn = functools.partial(_rsft_kernel_v3, h, w_real, wd, mode)
+    if mode == "dy3":
+        shbuf_shape = (3 * cpad, (th + 4) * wd)
+        mrows_shape = (3 * cpad, (th + 2) * wd)
+    else:
+        shbuf_shape = (3, cpad, (th + 4) * wd)
+        mrows_shape = (3, cpad, (th + 2) * wd)
+    fn = functools.partial(_rsft_kernel_v3, h, w_real, wd, mode, th)
     out = pl.pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec((cpad, TH * wd), lambda i: (0, i),
+        out_specs=pl.BlockSpec((cpad, th * wd), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cpad, h * wd), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, cpad, (TH + 4) * wd), x.dtype),
-            pltpu.VMEM((3, cpad, (TH + 4) * wd), x.dtype),
-            pltpu.VMEM((3, cpad, (TH + 2) * wd), x.dtype),
+            pltpu.VMEM((2, cpad, (th + 4) * wd), x.dtype),
+            pltpu.VMEM(shbuf_shape, x.dtype),
+            pltpu.VMEM(mrows_shape, x.dtype),
             pltpu.VMEM(stacked_shape, x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(xf, _index_planes(cpad, TH + 4, wd), ws0, bp0, ws1, bp1, sft)
+    )(xf, _index_planes(cpad, th + 4, wd), ws0, bp0, ws1, bp1, sft)
     return out.reshape(cpad, h, wd)[:c]
 
 

@@ -215,6 +215,7 @@ def build_fast_decode_v2(cfg: BoostConfig, params, tile_from_h: int = 200,
 
 
 def build_fast_decode_v3(cfg: BoostConfig, params, tile_from_h: int = 200,
+                         mode: str = "dy3", head_th: int = 24,
                          interpret: bool = False) -> Callable:
     """v3: pre-shifted-tile kernels with FUSED activations.
 
@@ -283,7 +284,7 @@ def build_fast_decode_v3(cfg: BoostConfig, params, tile_from_h: int = 200,
                 chw = _pad_w(chw, wreal)
             else:
                 chw = conv_tile_v3(chw, conv["kernel"], conv["bias"], k=ks,
-                                   w_real=wreal, act="sin",
+                                   w_real=wreal, act="sin", mode=mode,
                                    interpret=interpret)
                 if spec.strd > 1:
                     chw = _d2s_chw(chw, spec.strd)
@@ -298,14 +299,16 @@ def build_fast_decode_v3(cfg: BoostConfig, params, tile_from_h: int = 200,
                 rsft["TConv_1"]["Conv_0"]["kernel"],
                 rsft["TConv_1"]["Conv_0"]["bias"],
                 f32(s0v), f32(h0v), f32(s1v), f32(h1v),
-                w_real=wreal, interpret=interpret)
+                w_real=wreal, mode=mode, interpret=interpret)
 
         head = p["head"]["Conv_0"]
         if chw is None:
             out = _conv_nhwc(head, x, 1)
             return jnp.tanh(out) * 0.5 + 0.5
         out = conv_tile_v3(chw, head["kernel"], head["bias"], k=3,
-                           w_real=wreal, act="outimg", interpret=interpret)
+                           w_real=wreal, act="outimg", mode=mode,
+                           th=head_th if chw.shape[1] % head_th == 0 else 8,
+                           interpret=interpret)
         out = out[:, :, :wreal]
         return out.transpose(1, 2, 0)[None].astype(DT)
 

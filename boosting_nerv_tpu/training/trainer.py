@@ -173,11 +173,14 @@ class RegressionTrainer:
         cfg = self.cfg
         mask = self.inpaint_mask
 
+        fwd = (jax.checkpoint(self._forward) if cfg.remat
+               else self._forward)
+
         def step(params, opt_state, img, t, lr):
             img_in = jnp.clip(img * mask, 0, 1) if mask is not None else img
 
             def lossf(p):
-                out = self._forward(p, img_in, t)
+                out = fwd(p, img_in, t)
                 if mask is not None:
                     l = loss_fn(out * mask, img * mask, cfg.loss)
                 else:

@@ -51,9 +51,13 @@ class TestConvTileV3:
     @pytest.mark.parametrize("c,co,h,wreal,k,mode", [
         (5, 7, 11, 128, 3, "stack"),
         (5, 7, 11, 100, 3, "acc"),     # ragged width -> in-kernel mask
-        (3, 12, 8, 256, 3, "stack"),   # multi-lane-tile width
-        (6, 4, 9, 120, 1, "stack"),    # 1x1 conv
-        (4, 6, 19, 128, 3, "stack"),   # >2 tiles: double-buffered DMA
+        (5, 7, 11, 100, 3, "dy3"),
+        (3, 12, 8, 256, 3, "dy3"),     # multi-lane-tile width
+        (6, 4, 9, 120, 1, "dy3"),      # 1x1 conv
+        (4, 6, 19, 128, 3, "dy3"),     # >2 tiles: double-buffered DMA
+        (3, 12, 8, 256, 3, "stack"),
+        (6, 4, 9, 120, 1, "stack"),
+        (4, 6, 19, 128, 3, "stack"),
     ])
     def test_matches_xla(self, c, co, h, wreal, k, mode):
         wd = -(-wreal // 128) * 128
@@ -135,7 +139,8 @@ class TestResBlockSFTTile:
 
 class TestResBlockSFTTileV3:
     @pytest.mark.parametrize("c,h,wreal,mode", [
-        (5, 11, 128, "stack"), (6, 19, 100, "acc"), (4, 9, 250, "stack")])
+        (5, 11, 128, "stack"), (6, 19, 100, "acc"), (4, 9, 250, "stack"),
+        (5, 11, 128, "dy3"), (6, 19, 100, "dy3"), (4, 25, 250, "dy3")])
     def test_matches_xla(self, c, h, wreal, mode):
         wd = -(-wreal // 128) * 128
         x = jnp.asarray(rng.normal(size=(c, h, wreal)).astype(np.float32))

@@ -1,0 +1,60 @@
+"""TPU probe: full v3 decode with mode='dy3' (simple, non-pipelined
+kernels), tile_from_h sweep. Run from /root/repo with NO PYTHONPATH:
+  python -c "exec(open('tools/decode_dy3_probe.py').read())"
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from boosting_nerv_tpu.config import BoostConfig, resolve_sizes
+from boosting_nerv_tpu.models import build_model
+from boosting_nerv_tpu.runtime.fast_decode import build_fast_decode_v3
+
+print("devices:", jax.devices(), flush=True)
+
+cfg = BoostConfig(
+    model="HNeRV_Boost", embed="pe_1.25_80", enc_strds=[5, 3, 2, 2, 2],
+    enc_dim="64_16", dec_strds=[5, 3, 2, 2, 2], dec_blks=[1, 1, 2, 2, 2],
+    ks="0_1_5", reduce=1.2, lower_width=12, modelsize=2.8,
+    conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+    sft_block="res_sft", ch_t=32, crop_list="1080_1920")
+cfg = resolve_sizes(cfg, final_size=1920 * 1080, full_data_length=120)
+model = build_model(cfg)
+img = jnp.zeros((1, 1080, 1920, 3), jnp.float32)
+t = jnp.asarray([0.5], jnp.float32)
+params = model.init(jax.random.key(0), img, t)
+embed = jax.jit(lambda p, i: model.apply(p, i, method="encode"))(params, img)
+
+
+def timed_decode(decode_fn, n=20, tag=""):
+    @jax.jit
+    def decode_n(embed, ts):
+        def body(c, tt):
+            out = decode_fn(embed + c * 1e-12, tt[None])
+            return c + out.astype(jnp.float32).mean(), None
+        acc, _ = lax.scan(body, 0.0, ts)
+        return acc
+
+    ts = jnp.linspace(0.01, 1.0, n)
+    t0 = time.perf_counter()
+    float(decode_n(embed, ts))
+    print(f"  [{tag}] compile+first: {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(decode_n(embed, ts))
+        best = min(best, time.perf_counter() - t0)
+    print(f"  [{tag}] {best/n*1e3:.2f} ms/frame ({n/best:.2f} fps)",
+          flush=True)
+
+
+for tf in (135, 45):
+    d3 = build_fast_decode_v3(cfg, params, tile_from_h=tf, mode="dy3")
+    o3 = jax.jit(d3)(embed, t)
+    print(f"dy3 tf={tf} out mean {float(o3.astype(jnp.float32).mean()):.4f}",
+          flush=True)
+    timed_decode(d3, tag=f"v3 dy3 tile_from_h={tf}")

@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help='data-parallel mesh size (0 = all devices if -d)')
     p.add_argument('--sp', type=int, default=1,
                    help='spatial mesh size for decode sharding')
+    p.add_argument('--remat', action='store_true',
+                   help='rematerialize the forward in backward (saves '
+                        'activation memory at ~30%% step-time cost)')
+    p.add_argument('--train_precision', type=str, default='highest',
+                   choices=['highest', 'high', 'default'],
+                   help='matmul precision for training (see config.py)')
     # Logging / output
     p.add_argument('--debug', action='store_true')
     p.add_argument('-p', '--print-freq', default=50, type=int)
@@ -142,7 +148,8 @@ def args_to_config(args):
         eval_fps=args.eval_fps, manualSeed=args.manualSeed,
         debug=args.debug, print_freq=args.print_freq, weight=args.weight,
         overwrite=args.overwrite, outf=outf, suffix=args.suffix,
-        dp=dp, sp=args.sp, profile=args.profile,
+        dp=dp, sp=args.sp, profile=args.profile, remat=args.remat,
+        train_precision=args.train_precision,
     )
     return cfg
 

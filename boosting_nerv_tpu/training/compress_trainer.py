@@ -202,6 +202,12 @@ class CompressionTrainer(RegressionTrainer):
 
         self.cem_step = jax.jit(step, donate_argnums=(0, 1))
 
+        def step_idx(state, opt_state, frames, idx, t, lr, key):
+            img = frames[idx].astype(jnp.float32) / 255.0
+            return step(state, opt_state, img, t, lr, key)
+
+        self.cem_step_idx = jax.jit(step_idx, donate_argnums=(0, 1))
+
         state = {"model": self.params, "qp": self.qparams}
         if self.embed_qp is not None:
             state["embed_qp"] = self.embed_qp
@@ -241,13 +247,23 @@ class CompressionTrainer(RegressionTrainer):
                                             full_data_length=self.video.n,
                                             cur_epoch=epoch)
                 key, sub = jax.random.split(key)
-                img, t = self._device_batch(batch)
-                self.state, self.opt_state, loss, psnr, bpp = self.cem_step(
-                    self.state, self.opt_state, img, t, jnp.float32(lr), sub)
-                psnr_accum.append(np.asarray(psnr))
-                bpp_last = float(bpp) / self.video.n
+                if self._resident:
+                    self.state, self.opt_state, loss, psnr, bpp = \
+                        self.cem_step_idx(
+                            self.state, self.opt_state, self.frames_dev,
+                            jnp.asarray(batch["idx"]),
+                            jnp.asarray(batch["norm_idx"]),
+                            jnp.float32(lr), sub)
+                else:
+                    img, t = self._device_batch(batch)
+                    self.state, self.opt_state, loss, psnr, bpp = \
+                        self.cem_step(self.state, self.opt_state, img, t,
+                                      jnp.float32(lr), sub)
+                psnr_accum.append(psnr)
+                bpp_dev = bpp
                 if i % cfg.print_freq == 0 or i == n_train_batches - 1:
-                    cur = float(np.concatenate(psnr_accum).mean())
+                    bpp_last = float(bpp_dev) / self.video.n
+                    cur = float(jnp.concatenate(psnr_accum).mean())
                     self.logger.print(
                         f"Epoch[{epoch + 1}/{cfg.epochs}], Step "
                         f"[{i + 1}/{n_train_batches}], lr:{lr:.2e} "
@@ -336,7 +352,7 @@ class CompressionTrainer(RegressionTrainer):
                 range(self.video.n), cfg.batchSize, False, 0, drop_last=False)):
             if bi > 10 and cfg.debug:
                 break
-            img = jnp.asarray(batch["img"])
+            img = self._batch_img(batch)
             t = jnp.asarray(batch["norm_idx"])
             idx = batch["idx"]
 

@@ -118,6 +118,17 @@ class RegressionTrainer:
         self.model = build_model(cfg)
         self.mesh: MeshPlan = make_mesh_plan(cfg.dp, cfg.sp)
 
+        # Resident dataset: on a single device, park the whole video in HBM
+        # as uint8 once and gather+normalise per step INSIDE jit. Streaming
+        # each frame host->device per step costs more than the step itself
+        # on a tunneled TPU (measured 1.26 s/step vs 0.38 s compute at
+        # 720p); resident frames remove all per-step host traffic.
+        self._resident = (cfg.dp * cfg.sp == 1)
+        self.frames_dev = (jax.device_put(jnp.asarray(self.video.frames))
+                           if self._resident else None)
+        self._gather = jax.jit(
+            lambda f, i: f[i].astype(jnp.float32) / 255.0)
+
         key = jax.random.key(cfg.manualSeed)
         h, w = self.video.frames.shape[1:3]
         dummy_img = jnp.zeros((1, h, w, 3), jnp.float32)
@@ -193,6 +204,12 @@ class RegressionTrainer:
             return params, opt_state, l, psnr_per_frame(out, img)
 
         self.train_step = jax.jit(step, donate_argnums=(0, 1))
+
+        def step_idx(params, opt_state, frames, idx, t, lr):
+            img = frames[idx].astype(jnp.float32) / 255.0
+            return step(params, opt_state, img, t, lr)
+
+        self.train_step_idx = jax.jit(step_idx, donate_argnums=(0, 1))
 
         h, w = self.video.frames.shape[1:3]
         use_ms = min(h, w) >= 176
@@ -297,19 +314,29 @@ class RegressionTrainer:
                 lr = cfg.lr * lr_multiplier(
                     cfg.lr_type, progress, cur_iter=i, epochs=cfg.epochs,
                     full_data_length=self.video.n, cur_epoch=epoch)
-                img, t = self._device_batch(batch)
-                self.params, self.opt_state, loss, psnr = self.train_step(
-                    self.params, self.opt_state, img, t,
-                    jnp.float32(lr))
-                psnr_accum.append(np.asarray(psnr))
+                if self._resident:
+                    self.params, self.opt_state, loss, psnr = \
+                        self.train_step_idx(
+                            self.params, self.opt_state, self.frames_dev,
+                            jnp.asarray(batch["idx"]),
+                            jnp.asarray(batch["norm_idx"]), jnp.float32(lr))
+                else:
+                    img, t = self._device_batch(batch)
+                    self.params, self.opt_state, loss, psnr = self.train_step(
+                        self.params, self.opt_state, img, t,
+                        jnp.float32(lr))
+                # keep psnr on device: a per-step host sync serialises
+                # dispatch against the tunnel round-trip
+                psnr_accum.append(psnr)
                 if i % cfg.print_freq == 0 or i == n_train_batches - 1:
-                    cur = float(np.concatenate(psnr_accum).mean())
+                    cur = float(jnp.concatenate(psnr_accum).mean())
                     self.logger.print(
                         f"Epoch[{epoch + 1}/{cfg.epochs}], "
                         f"Step [{i + 1}/{n_train_batches}], lr:{lr:.2e} "
                         f"pred_PSNR: {cur:.4f}")
 
-            ep_psnr = float(np.concatenate(psnr_accum).mean()) if psnr_accum else 0.0
+            ep_psnr = (float(jnp.concatenate(psnr_accum).mean())
+                       if psnr_accum else 0.0)
             self.logger.scalar("Train/pred_PSNR", ep_psnr, epoch + 1)
             self.logger.scalar("Train/lr", lr, epoch + 1)
             self.logger.print(
@@ -362,13 +389,20 @@ class RegressionTrainer:
             new_flat[k] = jnp.asarray(new_v)
         return unflatten_dict(new_flat), quant_ckt
 
+    def _batch_img(self, batch):
+        """Device image batch: gathered from the resident uint8 frames on a
+        single device, host-uploaded otherwise."""
+        if self._resident:
+            return self._gather(self.frames_dev, jnp.asarray(batch["idx"]))
+        return jnp.asarray(batch["img"])
+
     def _collect_embeds(self):
         cfg = self.cfg
         embeds = []
         for batch in self.video.epoch_batches(range(self.video.n),
                                               cfg.batchSize, False, 0,
                                               drop_last=False):
-            img = jnp.asarray(batch["img"])
+            img = self._batch_img(batch)
             embeds.append(np.asarray(self.encode_step(self.params, img)))
         return np.concatenate(embeds, axis=0)
 
@@ -435,7 +469,7 @@ class RegressionTrainer:
                     drop_last=False)):
                 if bi > 10 and cfg.debug:
                     break
-                img = jnp.asarray(batch["img"])
+                img = self._batch_img(batch)
                 t = jnp.asarray(batch["norm_idx"])
                 idx = batch["idx"]
 

@@ -80,7 +80,10 @@ def main():
         "pshuffel_3x3", "--act", "sin", "--norm", "none",
         "--sft_block", "res_sft", "--ch_t", "16",
         "--loss", a.loss, "-e", str(a.epochs), "--eval_freq", "1",
-        "-b", "1", "--lr", "0.003", "--seed", "1",
+        "-b", "1", "--lr", "0.003", "--manualSeed", "1",
+        # the reference's un-cased optim default crashes (SURVEY quirk);
+        # both CLIs accept the canonical spelling
+        "--optim_type", "Adan",
     ]
 
     ref_out = os.path.join(a.workdir, "ref_out")

@@ -38,7 +38,9 @@ from ..ops.losses import loss_fn
 from ..ops.metrics import psnr_per_frame
 from ..ops.quantize import get_quantizer
 from ..utils.logger import RunLogger
-from .checkpoint import load_checkpoint, save_checkpoint, tree_restore
+from .checkpoint import (load_checkpoint, save_checkpoint,
+                         save_checkpoint_async, tree_restore,
+                         wait_pending_saves)
 from .schedules import lr_multiplier
 from .trainer import METRIC_NAMES, RegressionTrainer
 
@@ -285,8 +287,9 @@ class CompressionTrainer(RegressionTrainer):
                     msg += f"{k}: {v:.4f} | "
                 self.logger.print(msg)
 
-            save_checkpoint(os.path.join(cfg.outf, "model_latest.ckpt"),
-                            epoch + 1, self.state, self.opt_state)
+            save_checkpoint_async(
+                os.path.join(cfg.outf, "model_latest.ckpt"),
+                epoch + 1, self.state, self.opt_state)
             if is_best:
                 # best-metric checkpoint (train_nerv_compression.py:431-433)
                 save_checkpoint(os.path.join(cfg.outf, "model_best.ckpt"),
@@ -295,6 +298,7 @@ class CompressionTrainer(RegressionTrainer):
                 save_checkpoint(os.path.join(cfg.outf, f"epoch{epoch + 1}.ckpt"),
                                 epoch + 1, self.state, self.opt_state)
 
+        wait_pending_saves()
         self.train_time = time.time() - t_start
         self.cur_epoch = cfg.epochs
         self.dump_csv(f"epoch{cfg.epochs}.csv")

@@ -40,7 +40,9 @@ from ..compress.huffman import huffman_code_lengths
 from ..parallel.mesh import MeshPlan, make_mesh_plan
 from ..utils.logger import RunLogger
 from .adan import adan
-from .checkpoint import load_checkpoint, save_checkpoint, tree_restore
+from .checkpoint import (load_checkpoint, save_checkpoint,
+                         save_checkpoint_async, tree_restore,
+                         wait_pending_saves)
 from .schedules import lr_multiplier
 
 METRIC_NAMES = [
@@ -359,9 +361,11 @@ class RegressionTrainer:
                     msg += f"{k}: {v:.4f} | "
                 self.logger.print(msg)
 
-            save_checkpoint(os.path.join(cfg.outf, "model_latest.ckpt"),
-                            epoch + 1, self.params, self.opt_state)
+            save_checkpoint_async(
+                os.path.join(cfg.outf, "model_latest.ckpt"),
+                epoch + 1, self.params, self.opt_state)
 
+        wait_pending_saves()
         self.train_time = time.time() - t_start
         self.cur_epoch = cfg.epochs
         self.dump_csv(f"epoch{cfg.epochs}.csv")

@@ -53,7 +53,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/parity")
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--frames", type=int, default=16)
-    ap.add_argument("--crop", default="96_160")
+    # MS-SSIM (5 scales, 11-tap window) needs min(h, w) >= 161; both
+    # trainers evaluate it, so the clip must be at least 176 tall
+    ap.add_argument("--crop", default="176_320")
     ap.add_argument("--loss", default="L2")
     ap.add_argument("--modelsize", type=float, default=0.15)
     ap.add_argument("--tol", type=float, default=0.1,

@@ -117,3 +117,38 @@ class TestCheckpointResume:
         p2 = jax.tree_util.tree_leaves(jax.device_get(t2.params))
         for a, b in zip(p1, p2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestResidentDataset:
+    def test_resident_step_matches_streaming_step(self, tmp_path):
+        """The HBM-resident uint8 frame path (dp*sp == 1) must match the
+        host-streaming step numerically (same math; only the /255
+        normalisation moves inside jit, so allow fusion-level noise)."""
+        import jax
+        import jax.numpy as jnp
+
+        frames = synthetic_video(4, 8, 16)
+        cfg = tiny_cfg(tmp_path, "HNeRV_Boost", epochs=1,
+                       outf=os.path.join(str(tmp_path), "resident_step"))
+        video = VideoData(frames, cfg.interpolation, cfg.embed_inter)
+        tr = RegressionTrainer(cfg, video=video,
+                               logger=RunLogger(cfg.outf, enable_tb=False))
+        batch = video.get_batch([0, 2])
+        img, t = tr._device_batch(batch)
+        # train_step donates params/opt_state: feed each call its own copy
+        cp = lambda tree: jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree)
+        p1, _, l1, ps1 = tr.train_step(cp(tr.params), cp(tr.opt_state),
+                                       img, t, jnp.float32(1e-3))
+        p2, _, l2, ps2 = tr.train_step_idx(
+            cp(tr.params), cp(tr.opt_state), tr.frames_dev,
+            jnp.asarray(batch["idx"]), jnp.asarray(batch["norm_idx"]),
+            jnp.float32(1e-3))
+        assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+        np.testing.assert_allclose(np.asarray(ps1), np.asarray(ps2),
+                                   rtol=1e-4)
+        fa = jax.tree_util.tree_leaves(jax.device_get(p1))
+        fb = jax.tree_util.tree_leaves(jax.device_get(p2))
+        for x, y in zip(fa, fb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=2e-5, rtol=1e-4)

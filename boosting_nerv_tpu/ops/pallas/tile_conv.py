@@ -260,6 +260,33 @@ def _stack_weights_dy(kernel, cpad, copad):
     return w.astype(jnp.bfloat16)
 
 
+def _stack_weights_ody(kernel, cpad, copad):
+    """flax HWIO (k, k, Cin, Cout) -> (k, k*Copad, Cpad) bf16 per-dy lhs:
+    M-stacked dx blocks, so one dot per row offset emits all k dx partial
+    sums at once (output-shift formulation)."""
+    kh, kw, cin, cout = kernel.shape
+    w = jnp.zeros((kh, kw * copad, cpad), jnp.float32)
+    k32 = kernel.astype(jnp.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            w = w.at[dy, dx * copad:dx * copad + cout, :cin].set(k32[dy, dx].T)
+    return w.astype(jnp.bfloat16)
+
+
+def _ody_combine(acc3, colp, w_real, copad):
+    """out[:, n] = A0[:, n] + Am[:, n-1] + Ap[:, n+1] with frame-edge
+    masking: Am's contribution is invalid at col 0 (source col -1), Ap's at
+    col >= w_real-1 (source col >= w_real). Lane-roll wrap across row
+    boundaries lands exactly on those masked lanes."""
+    n = acc3.shape[1]
+    am = lax.slice_in_dim(acc3, 0, copad, axis=0)
+    a0 = lax.slice_in_dim(acc3, copad, 2 * copad, axis=0)
+    ap = lax.slice_in_dim(acc3, 2 * copad, 3 * copad, axis=0)
+    am = jnp.where(colp > 0, pltpu.roll(am, 1, axis=1), 0.0)
+    ap = jnp.where(colp < w_real - 1, pltpu.roll(ap, n - 1, axis=1), 0.0)
+    return a0 + am + ap
+
+
 def _conv_kernel_v3(k, h_real, w_real, w, n_in_rows, mode, act, x_hbm,
                     colp_ref, w_ref, b_ref, out_ref, xtile, shbuf, stacked,
                     sem):
@@ -293,6 +320,24 @@ def _conv_kernel_v3(k, h_real, w_real, w, n_in_rows, mode, act, x_hbm,
         cp(i + 1, 1 - slot).start()
 
     cp(i, slot).wait()
+
+    if mode == "ody":
+        # output-shift: no input prologue at all — dots consume the raw
+        # bf16 tile slices; dx resolves as two rolls+masks on the f32
+        # accumulator. Wins when Copad <= Cpad (the wrapper enforces it).
+        copad = w_ref.shape[1] // k
+        acc3 = jnp.zeros((k * copad, nout), jnp.float32)
+        for dy in range(k):
+            acc3 = acc3 + lax.dot(w_ref[dy],
+                                  xtile[slot, :, pl.ds(dy * w, nout)],
+                                  preferred_element_type=jnp.float32)
+        if k == 3:
+            colp = colp_ref[pl.ds(0, copad), pl.ds(0, nout)]
+            acc = _ody_combine(acc3, colp, w_real, copad)
+        else:
+            acc = acc3
+        out_ref[...] = _ACTS[act](acc + b_ref[:, :1]).astype(dt)
+        return
 
     x32 = xtile[slot].astype(jnp.float32)
     if mode == "dy3":
@@ -371,6 +416,11 @@ def conv_tile_v3(x, kernel, bias, *, k, w_real=None, th=TH, mode="stack",
         wop = _stack_weights_dy(kernel, cpad, copad)
         stacked_shape = (8, 128)  # dummy
         shbuf_shape = (k * cpad, n_in_rows * wd)
+    elif mode == "ody":
+        assert copad <= cpad, (copad, cpad)  # else the combine loses
+        wop = _stack_weights_ody(kernel, cpad, copad)
+        stacked_shape = (8, 128)  # dummy
+        shbuf_shape = (8, 128)    # dummy (no prologue buffer)
     else:
         # (k*k, Copad, Cpad) per-tap lhs blocks (tap.T = (Cout, Cin))
         kk = kernel.astype(jnp.float32)
@@ -453,6 +503,28 @@ def _rsft_kernel_v3(h_real, w_real, w, mode, th, x_hbm, rc_ref, w0_ref,
     in_frame = (abs_r >= 0) & (abs_r < h_real) & (colr < w_real)
 
     a32 = jnp.where(in_frame, x32 * s0 + h0, 0.0)
+
+    if mode == "ody":
+        # output-shift variant: one bf16 cast of the SFT'd tile replaces
+        # the 3-buffer pre-shift; dx resolves on the accumulators.
+        shbuf[...] = a32.astype(dt)
+
+        def conv_ody(buf, wref, n, colp_n):
+            acc3 = jnp.zeros((3 * cpad, n), jnp.float32)
+            for dy in range(3):
+                acc3 = acc3 + lax.dot(wref[dy], buf[:, pl.ds(dy * w, n)],
+                                      preferred_element_type=jnp.float32)
+            return _ody_combine(acc3, colp_n, w_real, cpad)
+
+        mid = conv_ody(shbuf, w0_ref, nmid, colm)
+        mid = _gelu(mid + b0_ref[:, :1]) * s1 + h1
+        in_frame_m = lax.slice_in_dim(in_frame, w, w + nmid, axis=1)
+        mrows[...] = jnp.where(in_frame_m, mid, 0.0).astype(dt)
+        colo = lax.slice_in_dim(colr, 0, nout, axis=1)
+        res = conv_ody(mrows, w1_ref, nout, colo)
+        resid = lax.slice_in_dim(x32, 2 * w, 2 * w + nout, axis=1)
+        out_ref[...] = (res + b1_ref[:, :1] + resid).astype(dt)
+        return
 
     if mode == "dy3":
         # (a software-pipelined variant measured slower — see
@@ -538,6 +610,8 @@ def resblock_sft_tile_v3(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
             return _stack_weights(kk, cpad, cpad)
         if mode == "dy3":
             return _stack_weights_dy(kk, cpad, cpad)
+        if mode == "ody":
+            return _stack_weights_ody(kk, cpad, cpad)
         k32 = kk.astype(jnp.float32)
         wop = jnp.zeros((9, cpad, cpad), jnp.float32)
         for dy in range(3):
@@ -560,6 +634,9 @@ def resblock_sft_tile_v3(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
     if mode == "dy3":
         shbuf_shape = (3 * cpad, (th + 4) * wd)
         mrows_shape = (3 * cpad, (th + 2) * wd)
+    elif mode == "ody":
+        shbuf_shape = (cpad, (th + 4) * wd)
+        mrows_shape = (cpad, (th + 2) * wd)
     else:
         shbuf_shape = (3, cpad, (th + 4) * wd)
         mrows_shape = (3, cpad, (th + 2) * wd)

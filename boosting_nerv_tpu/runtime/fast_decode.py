@@ -283,8 +283,11 @@ def build_fast_decode_v3(cfg: BoostConfig, params, tile_from_h: int = 200,
                 wreal = chw.shape[2]
                 chw = _pad_w(chw, wreal)
             else:
+                kshape = conv["kernel"].shape
+                cmode = mode if (mode != "ody" or kshape[3] <= kshape[2]) \
+                    else "dy3"  # ody needs Cout <= Cin (upconvs widen)
                 chw = conv_tile_v3(chw, conv["kernel"], conv["bias"], k=ks,
-                                   w_real=wreal, act="sin", mode=mode,
+                                   w_real=wreal, act="sin", mode=cmode,
                                    interpret=interpret)
                 if spec.strd > 1:
                     chw = _d2s_chw(chw, spec.strd)

@@ -58,6 +58,9 @@ class TestConvTileV3:
         (3, 12, 8, 256, 3, "stack"),
         (6, 4, 9, 120, 1, "stack"),
         (4, 6, 19, 128, 3, "stack"),
+        (5, 5, 19, 100, 3, "ody"),
+        (7, 3, 11, 128, 3, "ody"),     # narrowing head-style conv
+        (6, 4, 9, 120, 1, "ody"),
     ])
     def test_matches_xla(self, c, co, h, wreal, k, mode):
         wd = -(-wreal // 128) * 128
@@ -140,7 +143,8 @@ class TestResBlockSFTTile:
 class TestResBlockSFTTileV3:
     @pytest.mark.parametrize("c,h,wreal,mode", [
         (5, 11, 128, "stack"), (6, 19, 100, "acc"), (4, 9, 250, "stack"),
-        (5, 11, 128, "dy3"), (6, 19, 100, "dy3"), (4, 25, 250, "dy3")])
+        (5, 11, 128, "dy3"), (6, 19, 100, "dy3"), (4, 25, 250, "dy3"),
+        (5, 27, 128, "ody"), (6, 19, 100, "ody")])
     def test_matches_xla(self, c, h, wreal, mode):
         wd = -(-wreal // 128) * 128
         x = jnp.asarray(rng.normal(size=(c, h, wreal)).astype(np.float32))

@@ -42,12 +42,18 @@ def save_checkpoint_async(path: str, epoch: int, params: Any,
                           opt_state: Any = None,
                           extra: Optional[Dict] = None):
     """save_checkpoint off the training thread. On a tunneled backend the
-    device->host download dominates (measured ~38 s per 720p epoch for
-    params+opt_state); overlapping it with the next epoch's compute makes
-    the per-epoch `model_latest` cadence ~free. Saves are serialised:
-    a new one first joins the previous."""
+    device->host download dominates (measured ~70 s per 720p save of
+    params+opt_state, LONGER than a 38 s epoch); a save that is still in
+    flight when the next one is requested means the new request is simply
+    DROPPED — `model_latest` then trails by at most ceil(save/epoch)
+    epochs, which auto-resume tolerates by design (the reference restores
+    whatever epoch the latest checkpoint holds). Joining instead would
+    gate every epoch on the tunnel bandwidth."""
     global _save_thread
-    wait_pending_saves()
+    if _save_thread is not None:
+        if _save_thread.is_alive():
+            return  # previous save still downloading; skip this epoch
+        _save_thread = None
     snap_p = jax.tree_util.tree_map(_snap, params)
     snap_o = (jax.tree_util.tree_map(_snap, opt_state)
               if opt_state is not None else None)

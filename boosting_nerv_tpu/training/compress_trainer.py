@@ -299,6 +299,10 @@ class CompressionTrainer(RegressionTrainer):
                                 epoch + 1, self.state, self.opt_state)
 
         wait_pending_saves()
+        if cfg.epochs > self.start_epoch:
+            # async saves may drop epochs; the final CEM state must land
+            save_checkpoint(os.path.join(cfg.outf, "model_latest.ckpt"),
+                            cfg.epochs, self.state, self.opt_state)
         self.train_time = time.time() - t_start
         self.cur_epoch = cfg.epochs
         self.dump_csv(f"epoch{cfg.epochs}.csv")

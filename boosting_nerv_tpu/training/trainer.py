@@ -366,6 +366,11 @@ class RegressionTrainer:
                 epoch + 1, self.params, self.opt_state)
 
         wait_pending_saves()
+        # async saves may drop epochs while a download is in flight; the
+        # final state must land unconditionally
+        if cfg.epochs > self.start_epoch:
+            save_checkpoint(os.path.join(cfg.outf, "model_latest.ckpt"),
+                            cfg.epochs, self.params, self.opt_state)
         self.train_time = time.time() - t_start
         self.cur_epoch = cfg.epochs
         self.dump_csv(f"epoch{cfg.epochs}.csv")

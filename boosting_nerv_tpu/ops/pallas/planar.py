@@ -1,0 +1,401 @@
+"""Subpixel-planar (coarse-grid) kernels for the stride-2 decode tail.
+
+The v3 kernels (tile_conv.py) run each 3x3 conv on the FINE grid the
+reference materialises after PixelShuffle (/root/reference/
+model_blocks.py:196-207): at 1080p that means 2048-lane rolls, M=64 MXU
+dots, and an XLA depth-to-space relayout between every upconv and its TAT
+block.  This module instead keeps every stride-2 stage's tensor in
+SUBPIXEL-PLANAR layout on the COARSE grid:
+
+    fine (C, 2H, 2W)  <->  planar (4*Cp, H, W),   Cp = round_up(C, 16)
+    planar[(2*r1 + r2)*Cp + c, y, x] = fine[c, 2*y + r1, 2*x + r2]
+
+(the (r1, r2, c) plane order is exactly the PixelShuffle channel packing,
+so an upconv emits planar output by a pure weight-column reorder).  A 3x3
+conv on the fine grid becomes, on planar data, a conv whose taps reach at
+most 2x2 coarse cells: for output subpixel row py the row taps collapse to
+two dots —
+
+    u = -1 (py=0) / +1 (py=1): the 'half' dot, K = 4*Cp (one r1 group)
+    u = 0:                     the 'full' dot, K = 8*Cp (both r1 groups)
+
+over a K-buffer holding, per r1 group, four column-tap blocks
+    vb0 = P(r1, 0) unshifted      vb1 = P(r1, 1) unshifted
+    vb2 = P(r1, 1) rolled right   vb3 = P(r1, 0) rolled left
+(vb0/vb1 are contiguous bf16 copies; only 2*Cp rows per r1 ever get the
+f32 cast + lane roll).  Dots are (2*Cpo, 4*Cp) and (2*Cpo, 8*Cp) — M=128
+at the 1080p-zone channel counts, vs 64 on the fine grid — and the lane
+axis stays at the coarse width (1024 vs 2048), so there is no
+depth-to-space, no re-crop, and no fine-grid roll anywhere in the tail.
+
+Costs vs the fine-grid formulation: 2x2 tap support covers 16 fine tap
+positions where the 3x3 kernel has 9, so the dots carry ~1.8x the minimal
+FLOPs — a deliberate trade of MXU headroom for the VPU prologue and HBM
+relayouts that dominate the v3 pipeline (CLAUDE.md round-2 numbers).
+
+Column-edge masks are built in-kernel from a lane iota: the coarse padded
+width is always a power of two here, so `col = lane & (Wd - 1)` replaces
+the resident int32 index planes of tile_conv.py.
+
+Matches the decoder stages of /root/reference/model_hnerv.py:224-251 and
+ResBlock_SFT of model_blocks.py:74-105; the layout and fusion strategy are
+TPU-native design, not ports.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tile_conv import _ACTS, _gelu
+
+TH = 8
+
+
+def _round16(v):
+    return (v + 15) // 16 * 16
+
+
+# --------------------------------------------------------------------- #
+# layout converters (XLA; used at tail entry/exit and in tests)
+# --------------------------------------------------------------------- #
+
+
+def to_planar(x, cp=None):
+    """fine (C, 2H, 2W) -> planar (4*Cp, H, W)."""
+    c, h2, w2 = x.shape
+    cp = _round16(c) if cp is None else cp
+    x = x.reshape(c, h2 // 2, 2, w2 // 2, 2).transpose(2, 4, 0, 1, 3)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c), (0, 0), (0, 0)))
+    return x.reshape(4 * cp, h2 // 2, w2 // 2)
+
+
+def from_planar(xp, c):
+    """planar (4*Cp, H, W) -> fine (C, 2H, 2W)."""
+    g, h, w = xp.shape
+    cp = g // 4
+    x = xp.reshape(2, 2, cp, h, w)[:, :, :c]
+    x = x.transpose(2, 3, 0, 4, 1)
+    return x.reshape(c, 2 * h, 2 * w)
+
+
+def upconv_kernel_to_planar(kernel, cp=None):
+    """HWIO (kh, kw, Cin, 4*C) upconv kernel -> (kh, kw, Cin, 4*Cp) whose
+    output-channel order is the planar row layout (plane-major, per-plane
+    zero pad).  PixelShuffle's channel packing is (r1, r2, c) major->minor
+    (ops/pixelshuffle.py), so this is a pad-interleave on the O axis."""
+    kh, kw, cin, co4 = kernel.shape
+    c = co4 // 4
+    cp = _round16(c) if cp is None else cp
+    k = kernel.reshape(kh, kw, cin, 4, c)
+    k = jnp.pad(k, ((0, 0),) * 3 + ((0, 0), (0, cp - c)))
+    return k.reshape(kh, kw, cin, 4 * cp)
+
+
+# --------------------------------------------------------------------- #
+# weight matrices
+# --------------------------------------------------------------------- #
+
+_VB = {(0, 0): 0, (1, 0): 1, (1, -1): 2, (0, 1): 3}
+
+
+def planar_conv_mats(kernel, cp, cpo):
+    """HWIO (3, 3, C, Co) fine-grid kernel -> per-py (half, full) lhs:
+    half[py]: (2*Cpo, 4*Cp), full[py]: (2*Cpo, 8*Cp), bf16."""
+    _, _, c, co = kernel.shape
+    k = kernel.astype(jnp.float32)
+    half = jnp.zeros((2, 2 * cpo, 4 * cp), jnp.float32)
+    full = jnp.zeros((2, 2 * cpo, 8 * cp), jnp.float32)
+    for py in (0, 1):
+        for ky in (-1, 0, 1):
+            u, r1 = divmod(py + ky, 2)
+            for px in (0, 1):
+                for kx in (-1, 0, 1):
+                    v, r2 = divmod(px + kx, 2)
+                    vb = _VB[(r2, v)]
+                    tap = k[ky + 1, kx + 1].T  # (Co, C)
+                    if u == 0:
+                        full = full.at[
+                            py, px * cpo:px * cpo + co,
+                            (r1 * 4 + vb) * cp:(r1 * 4 + vb) * cp + c
+                        ].add(tap)
+                    else:
+                        half = half.at[
+                            py, px * cpo:px * cpo + co,
+                            vb * cp:vb * cp + c].add(tap)
+    return half.astype(jnp.bfloat16), full.astype(jnp.bfloat16)
+
+
+def _planar_bias(bias, cpo):
+    co = bias.shape[0]
+    b = jnp.zeros((4 * cpo, 1), jnp.float32)
+    for p in range(4):
+        b = b.at[p * cpo:p * cpo + co, 0].set(bias.astype(jnp.float32))
+    return b
+
+
+def _planar_vec(v, cp):
+    """(C,) per-fine-channel vector -> (4*Cp, 1) planar broadcast."""
+    return _planar_bias(v, cp)
+
+
+# --------------------------------------------------------------------- #
+# in-kernel helpers
+# --------------------------------------------------------------------- #
+
+
+def _col_plane(rows, lanes, wd):
+    """lane-index -> coarse column plane, (rows, lanes) int32.  wd must be
+    a power of two (asserted by the wrappers)."""
+    ln = lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    return ln & (wd - 1)
+
+
+def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
+    """Fill the (8*Cp, L) K-buffer from the f32 region x32 (4*Cp, L).
+    colp: (Cp, L) coarse-col plane of the region."""
+    lanes = x32.shape[1]
+    for r1 in (0, 1):
+        pin = r1 * 2 * cp
+        base = r1 * 4 * cp
+        # vb0 + vb1: both r2 planes, unshifted — one contiguous copy
+        buf[pl.ds(base, 2 * cp), :] = (
+            lax.slice_in_dim(x32, pin, pin + 2 * cp, axis=0).astype(dt))
+        p0 = lax.slice_in_dim(x32, pin, pin + cp, axis=0)
+        p1 = lax.slice_in_dim(x32, pin + cp, pin + 2 * cp, axis=0)
+        vm = jnp.where(colp > 0, pltpu.roll(p1, 1, axis=1), 0.0)
+        vp = jnp.where(colp < wc_real - 1,
+                       pltpu.roll(p0, lanes - 1, axis=1), 0.0)
+        buf[pl.ds(base + 2 * cp, cp), :] = vm.astype(dt)
+        buf[pl.ds(base + 3 * cp, cp), :] = vp.astype(dt)
+
+
+def _planar_dots(buf, half_ref, full_ref, cp, cpo, wd, nout):
+    """The four (per-py two) MXU dots; returns f32 (4*Cpo, nout) acc built
+    as two stacked py halves."""
+    accs = []
+    for py, (u_half, u_full) in enumerate(((-1, 0), (1, 0))):
+        r1h = 1 - py
+        off_h = (u_half + 1) * wd
+        off_f = (u_full + 1) * wd
+        a = lax.dot(
+            half_ref[py],
+            buf[pl.ds(r1h * 4 * cp, 4 * cp), pl.ds(off_h, nout)],
+            preferred_element_type=jnp.float32)
+        a = a + lax.dot(full_ref[py], buf[:, pl.ds(off_f, nout)],
+                        preferred_element_type=jnp.float32)
+        accs.append(a)
+    return accs
+
+
+def _conv_planar_kernel(wc_real, wd, n_in_rows, cp, cpo, act, x_hbm,
+                        half_ref, full_ref, b_ref, out_ref, xtile, kbuf,
+                        sem):
+    """One planar conv (+act).  x_hbm: (4*Cp, Hp*wd) with one coarse zero
+    halo row pre-padded top and bottom."""
+    nout = out_ref.shape[1]
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    th = nout // wd
+    lanes = n_in_rows * wd
+
+    def cp_dma(step, slot):
+        src = pl.multiple_of(step * th * wd, th * wd)
+        return pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes)],
+                                     xtile.at[slot], sem.at[slot])
+
+    slot = lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cp_dma(i, slot).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        cp_dma(i + 1, 1 - slot).start()
+
+    cp_dma(i, slot).wait()
+
+    x32 = xtile[slot].astype(jnp.float32)
+    colp = _col_plane(cp, lanes, wd)
+    _build_kbuf(kbuf, x32, colp, wc_real, cp, dt)
+    a0, a1 = _planar_dots(kbuf, half_ref, full_ref, cp, cpo, wd, nout)
+    f = _ACTS[act]
+    out_ref[pl.ds(0, 2 * cpo), :] = f(
+        a0 + b_ref[pl.ds(0, 2 * cpo)]).astype(dt)
+    out_ref[pl.ds(2 * cpo, 2 * cpo), :] = f(
+        a1 + b_ref[pl.ds(2 * cpo, 2 * cpo)]).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("c_in", "c_out", "wc_real",
+                                             "act", "th", "interpret"))
+def conv_planar(xp, kernel, bias, *, c_in, c_out, wc_real, act="none",
+                th=TH, interpret=False):
+    """3x3 fine-grid same conv applied to a planar tensor.
+
+    xp: (4*Cp, Hc, Wd) bf16 planar, Wd a power of two >= wc_real, pad
+    lanes (col >= wc_real) finite; kernel: flax HWIO (3, 3, C, Co); bias:
+    (Co,).  Returns (4*Cpo, Hc, Wd) planar (+act), pad channels zero iff
+    act(0) == 0 modulo bias.
+    """
+    g, hc, wd = xp.shape
+    assert wd & (wd - 1) == 0 and wd >= 128, wd
+    cp = g // 4
+    assert cp == _round16(c_in), (cp, c_in)
+    cpo = _round16(c_out)
+    grid = pl.cdiv(hc, th)
+    n_in_rows = th + 2
+    hp = grid * th + 2
+    xf = jnp.pad(xp, ((0, 0), (1, hp - hc - 1), (0, 0)))
+    xf = xf.reshape(4 * cp, hp * wd)
+    half, full = planar_conv_mats(kernel, cp, cpo)
+    b = _planar_bias(bias, cpo)
+    fn = functools.partial(_conv_planar_kernel, wc_real, wd, n_in_rows, cp,
+                           cpo, act)
+    out = pl.pallas_call(
+        fn,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((4 * cpo, th * wd), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4 * cpo, hc * wd), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4 * cp, n_in_rows * wd), xp.dtype),
+            pltpu.VMEM((8 * cp, n_in_rows * wd), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, half, full, b)
+    return out.reshape(4 * cpo, hc, wd)
+
+
+def _rsft_planar_kernel(hc_real, wc_real, wd, cp, x_hbm, h0_ref, f0_ref,
+                        b0_ref, h1_ref, f1_ref, b1_ref, sft_ref, out_ref,
+                        xtile, kbuf, mid, kbuf2, sem):
+    """Fused planar ResBlock_SFT: SFT0 -> conv -> GELU -> SFT1 -> conv ->
+    +x.  x_hbm: (4*Cp, Hp*wd) with two coarse zero halo rows top/bottom.
+    Output tile rows [i*th, i*th+th); input region rows i*th-2 .. +th+2;
+    mid region rows i*th-1 .. +th+1."""
+    nout = out_ref.shape[1]
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    th = nout // wd
+    lanes = (th + 4) * wd
+    nmid = (th + 2) * wd
+
+    def cp_dma(step, slot):
+        src = pl.multiple_of(step * th * wd, th * wd)
+        return pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes)],
+                                     xtile.at[slot], sem.at[slot])
+
+    slot = lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cp_dma(i, slot).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        cp_dma(i + 1, 1 - slot).start()
+
+    cp_dma(i, slot).wait()
+
+    s0 = sft_ref[0] + 1.0
+    h0v = sft_ref[1]
+    s1 = sft_ref[2] + 1.0
+    h1v = sft_ref[3]
+
+    x32 = xtile[slot].astype(jnp.float32)
+    # in-frame mask over the full region: coarse row in [0, hc_real),
+    # coarse col < wc_real (fine rows/cols pair 1:1 with coarse here)
+    ln_full = lax.broadcasted_iota(jnp.int32, (4 * cp, lanes), 1)
+    col_full = ln_full & (wd - 1)
+    logw = wd.bit_length() - 1
+    row_full = (ln_full >> logw) + (i * th - 2)
+    in_frame = ((row_full >= 0) & (row_full < hc_real)
+                & (col_full < wc_real))
+    a32 = jnp.where(in_frame, x32 * s0 + h0v, 0.0)
+
+    colp = _col_plane(cp, lanes, wd)
+    _build_kbuf(kbuf, a32, colp, wc_real, cp, dt)
+    a0, a1 = _planar_dots(kbuf, h0_ref, f0_ref, cp, cp, wd, nmid)
+    m0 = _gelu(a0 + b0_ref[pl.ds(0, 2 * cp)]) * \
+        lax.slice_in_dim(s1, 0, 2 * cp, axis=0) + \
+        lax.slice_in_dim(h1v, 0, 2 * cp, axis=0)
+    m1 = _gelu(a1 + b0_ref[pl.ds(2 * cp, 2 * cp)]) * \
+        lax.slice_in_dim(s1, 2 * cp, 4 * cp, axis=0) + \
+        lax.slice_in_dim(h1v, 2 * cp, 4 * cp, axis=0)
+    # conv1 must see zero outside the frame (bias/shift pollute pad rows)
+    in_frame_m = lax.slice_in_dim(in_frame, wd, wd + nmid, axis=1)
+    okm0 = lax.slice_in_dim(in_frame_m, 0, 2 * cp, axis=0)
+    okm1 = lax.slice_in_dim(in_frame_m, 2 * cp, 4 * cp, axis=0)
+    mid[pl.ds(0, 2 * cp), :] = jnp.where(okm0, m0, 0.0).astype(dt)
+    mid[pl.ds(2 * cp, 2 * cp), :] = jnp.where(okm1, m1, 0.0).astype(dt)
+
+    m32 = mid[...].astype(jnp.float32)
+    colm = _col_plane(cp, nmid, wd)
+    _build_kbuf(kbuf2, m32, colm, wc_real, cp, dt)
+    r0, r1 = _planar_dots(kbuf2, h1_ref, f1_ref, cp, cp, wd, nout)
+    resid = lax.slice_in_dim(x32, 2 * wd, 2 * wd + nout, axis=1)
+    out_ref[pl.ds(0, 2 * cp), :] = (
+        r0 + b1_ref[pl.ds(0, 2 * cp)]
+        + lax.slice_in_dim(resid, 0, 2 * cp, axis=0)).astype(dt)
+    out_ref[pl.ds(2 * cp, 2 * cp), :] = (
+        r1 + b1_ref[pl.ds(2 * cp, 2 * cp)]
+        + lax.slice_in_dim(resid, 2 * cp, 4 * cp, axis=0)).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "hc_real", "wc_real",
+                                             "th", "interpret"))
+def rsft_planar(xp, w0, b0, w1, b1, scale0, shift0, scale1, shift1, *,
+                c, hc_real, wc_real, th=TH, interpret=False):
+    """Fused TAT residual block on a planar tensor.
+
+    xp: (4*Cp, Hc, Wd) bf16 planar; w0/w1: flax HWIO (3, 3, C, C);
+    scale/shift: (C,) f32 vectors from the t-embedding MLPs (XLA).
+    Returns (4*Cp, Hc, Wd) bf16 planar.
+    """
+    g, hc, wd = xp.shape
+    assert wd & (wd - 1) == 0 and wd >= 128, wd
+    cp = g // 4
+    assert cp == _round16(c), (cp, c)
+    grid = pl.cdiv(hc, th)
+    hp = grid * th + 4
+    xf = jnp.pad(xp, ((0, 0), (2, hp - hc - 2), (0, 0)))
+    xf = xf.reshape(4 * cp, hp * wd)
+    h0m, f0m = planar_conv_mats(w0, cp, cp)
+    h1m, f1m = planar_conv_mats(w1, cp, cp)
+    bp0 = _planar_bias(b0, cp)
+    bp1 = _planar_bias(b1, cp)
+    sft = jnp.stack([_planar_vec(v, cp) for v in
+                     (scale0, shift0, scale1, shift1)])
+    fn = functools.partial(_rsft_planar_kernel, hc_real, wc_real, wd, cp)
+    out = pl.pallas_call(
+        fn,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec((4 * cp, th * wd), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4 * cp, hc * wd), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4 * cp, (th + 4) * wd), xp.dtype),
+            pltpu.VMEM((8 * cp, (th + 4) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, (th + 2) * wd), xp.dtype),
+            pltpu.VMEM((8 * cp, (th + 2) * wd), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, h0m, f0m, bp0, h1m, f1m, bp1, sft)
+    return out.reshape(4 * cp, hc, wd)

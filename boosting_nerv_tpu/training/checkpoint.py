@@ -22,6 +22,8 @@ def _to_numpy(tree):
 
 
 _save_thread: Optional[threading.Thread] = None
+_pending: Optional[tuple] = None
+_save_lock = threading.Lock()
 
 
 def _snap(x):
@@ -32,10 +34,26 @@ def _snap(x):
 
 
 def wait_pending_saves():
-    global _save_thread
+    global _save_thread, _pending
     if _save_thread is not None:
         _save_thread.join()
         _save_thread = None
+    with _save_lock:
+        flush, _pending = _pending, None
+    if flush is not None:
+        save_checkpoint(*flush)
+
+
+def _saver_loop(path, epoch, params, opt_state, extra):
+    """Download+write, then drain the latest pending snapshot (if any)."""
+    global _pending
+    while True:
+        save_checkpoint(path, epoch, params, opt_state, extra)
+        with _save_lock:
+            if _pending is None:
+                return
+            path, epoch, params, opt_state, extra = _pending
+            _pending = None
 
 
 def save_checkpoint_async(path: str, epoch: int, params: Any,
@@ -43,23 +61,24 @@ def save_checkpoint_async(path: str, epoch: int, params: Any,
                           extra: Optional[Dict] = None):
     """save_checkpoint off the training thread. On a tunneled backend the
     device->host download dominates (measured ~70 s per 720p save of
-    params+opt_state, LONGER than a 38 s epoch); a save that is still in
-    flight when the next one is requested means the new request is simply
-    DROPPED — `model_latest` then trails by at most ceil(save/epoch)
-    epochs, which auto-resume tolerates by design (the reference restores
-    whatever epoch the latest checkpoint holds). Joining instead would
-    gate every epoch on the tunnel bandwidth."""
-    global _save_thread
-    if _save_thread is not None:
-        if _save_thread.is_alive():
-            return  # previous save still downloading; skip this epoch
-        _save_thread = None
+    params+opt_state, LONGER than a 38 s epoch). A save requested while a
+    download is in flight lands in a latest-wins PENDING slot that the
+    saver thread drains when it finishes, so `model_latest` converges to
+    the newest snapshot instead of silently trailing; joining instead
+    would gate every epoch on the tunnel bandwidth. `wait_pending_saves`
+    flushes both the in-flight save and the pending slot."""
+    global _save_thread, _pending
     snap_p = jax.tree_util.tree_map(_snap, params)
     snap_o = (jax.tree_util.tree_map(_snap, opt_state)
               if opt_state is not None else None)
-    _save_thread = threading.Thread(
-        target=save_checkpoint, args=(path, epoch, snap_p, snap_o, extra),
-        daemon=True)
+    req = (path, epoch, snap_p, snap_o, extra)
+    with _save_lock:
+        if _save_thread is not None and _save_thread.is_alive():
+            _pending = req  # latest wins
+            return
+        _pending = None  # a stale pending is older than this request
+    _save_thread = threading.Thread(target=_saver_loop, args=req,
+                                    daemon=True)
     _save_thread.start()
 
 

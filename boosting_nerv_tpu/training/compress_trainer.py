@@ -237,6 +237,7 @@ class CompressionTrainer(RegressionTrainer):
         for epoch in range(self.start_epoch, cfg.epochs):
             psnr_accum = []
             bpp_last = 0.0
+            bpp_dev = None
             batches = self.video.epoch_batches(
                 self.train_ind, cfg.batchSize, shuffle=True,
                 seed=cfg.manualSeed + epoch)
@@ -271,6 +272,10 @@ class CompressionTrainer(RegressionTrainer):
                         f"[{i + 1}/{n_train_batches}], lr:{lr:.2e} "
                         f"pred_PSNR: {cur:.2f}, loss:{float(loss):.4f}, "
                         f"bpp:{bpp_last:.6f}")
+            if bpp_dev is not None:
+                # keep the logged bpp fresh even when the epoch ends off a
+                # print step (e.g. the debug inner-loop break)
+                bpp_last = float(bpp_dev) / self.video.n
 
             self.params = self.state["model"]
             last = cfg.epochs - epoch

@@ -134,6 +134,14 @@ class TestTrainerSpatialSharding:
             if sp > 1:
                 spec = img.sharding.spec
                 assert spec[0] == "data" and spec[1] == "spatial", spec
+            # raw gradients (before the Adan update, which amplifies
+            # reduction-order noise) must agree per-tensor across meshes
+            from boosting_nerv_tpu.ops.losses import loss_fn as _lf
+            grads = jax.jit(jax.grad(
+                lambda p: _lf(tr._forward(p, img, t), img, cfg.loss)))(
+                    tr.params)
+            results[tag + "_grads"] = jax.tree_util.tree_map(
+                lambda g: np.asarray(g, np.float64), grads)
             params, opt_state, loss1, _ = tr.train_step(
                 tr.params, tr.opt_state, img, t, jnp.float32(1e-3))
             params, opt_state, loss2, _ = tr.train_step(
@@ -152,6 +160,11 @@ class TestTrainerSpatialSharding:
                                    rtol=1e-5)
         np.testing.assert_allclose(results["dp"][1], results["dpsp"][1],
                                    rtol=1e-3)
+        ga = jax.tree_util.tree_leaves(results["dp_grads"])
+        gb = jax.tree_util.tree_leaves(results["dpsp_grads"])
+        for a, b in zip(ga, gb):
+            scale = max(float(np.abs(a).max()), 1e-12)
+            np.testing.assert_allclose(b / scale, a / scale, atol=5e-5)
 
 
 class TestDryrunEntry:

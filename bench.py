@@ -85,13 +85,11 @@ def _timed_scan(decode_fn, embed, n: int) -> float:
 
 def main():
     cfg, model, params, embed = _build()
-    # serving path: the v3 pre-shifted-tile Pallas decode (dy3 contiguous
-    # pre-shift buffers, fused deg-9 sin / OutImg epilogues, double-buffered
-    # halo DMA) — measured 45.5 ms/frame vs 73.4 for the bf16 XLA rebuild
-    # (tools/decode_dy3_probe.py, tools/tile_v4_probe.py).
-    from boosting_nerv_tpu.runtime.fast_decode import build_fast_decode_v3
+    # serving path (shared with the trainer's --eval_fps via
+    # build_serving_decode): the fastest verified Pallas decode pipeline.
+    from boosting_nerv_tpu.runtime.fast_decode import build_serving_decode
 
-    decode_fn = build_fast_decode_v3(cfg, params, tile_from_h=45, mode="dy3")
+    decode_fn = build_serving_decode(cfg, params)
     # one 20-step scan (~1.5 s device time) vs ~0.7 ms dispatch RTT: the
     # fixed overhead is <0.1%, no differencing needed
     n = 20

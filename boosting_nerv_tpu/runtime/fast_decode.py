@@ -318,6 +318,15 @@ def build_fast_decode_v3(cfg: BoostConfig, params, tile_from_h: int = 200,
     return decode
 
 
+def build_serving_decode(cfg: BoostConfig, params) -> Callable:
+    """The production decode path: the fastest verified kernel pipeline
+    for the config.  Single source of truth for bench.py and the
+    trainer's --eval_fps (reference fps convention,
+    /root/reference/train_nerv_all.py:490-496).  Raises ValueError for
+    configs outside the supported HNeRV-Boost paper shape."""
+    return build_fast_decode_v3(cfg, params, tile_from_h=45, mode="dy3")
+
+
 def build_fast_decode(cfg: BoostConfig, params,
                       pallas_from_h: int = 10 ** 9,
                       interpret: bool = False) -> Callable:

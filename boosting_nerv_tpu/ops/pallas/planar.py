@@ -53,7 +53,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tile_conv import _ACTS, _gelu
+from .tile_conv import (_ACTS, _gelu, _outimg, _preshift_into, _sin_poly,
+                        _stack_weights_dy)
 
 TH = 8
 
@@ -158,22 +159,26 @@ def _col_plane(rows, lanes, wd):
 
 
 def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
-    """Fill the (8*Cp, L) K-buffer from the f32 region x32 (4*Cp, L).
+    """Fill the (8*Cp, L) K-buffer from the f32 region x32 (4*Cp, L) —
+    or from per-r1 (2*Cp, L) groups when x32 is a callable r1 -> block.
     colp: (Cp, L) coarse-col plane of the region."""
-    lanes = x32.shape[1]
+    get = x32 if callable(x32) else (
+        lambda r1: lax.slice_in_dim(x32, r1 * 2 * cp, (r1 + 1) * 2 * cp,
+                                    axis=0))
     for r1 in (0, 1):
-        pin = r1 * 2 * cp
+        g = get(r1)
+        lanes = g.shape[1]
         base = r1 * 4 * cp
         # vb0 + vb1: both r2 planes, unshifted — one contiguous copy
-        buf[pl.ds(base, 2 * cp), :] = (
-            lax.slice_in_dim(x32, pin, pin + 2 * cp, axis=0).astype(dt))
-        p0 = lax.slice_in_dim(x32, pin, pin + cp, axis=0)
-        p1 = lax.slice_in_dim(x32, pin + cp, pin + 2 * cp, axis=0)
+        # (lane-partial writes: the scratch may be wider than the region)
+        buf[pl.ds(base, 2 * cp), pl.ds(0, lanes)] = g.astype(dt)
+        p0 = lax.slice_in_dim(g, 0, cp, axis=0)
+        p1 = lax.slice_in_dim(g, cp, 2 * cp, axis=0)
         vm = jnp.where(colp > 0, pltpu.roll(p1, 1, axis=1), 0.0)
         vp = jnp.where(colp < wc_real - 1,
                        pltpu.roll(p0, lanes - 1, axis=1), 0.0)
-        buf[pl.ds(base + 2 * cp, cp), :] = vm.astype(dt)
-        buf[pl.ds(base + 3 * cp, cp), :] = vp.astype(dt)
+        buf[pl.ds(base + 2 * cp, cp), pl.ds(0, lanes)] = vm.astype(dt)
+        buf[pl.ds(base + 3 * cp, cp), pl.ds(0, lanes)] = vp.astype(dt)
 
 
 def _planar_dots(buf, half_ref, full_ref, cp, cpo, wd, nout):
@@ -315,18 +320,24 @@ def _rsft_planar_kernel(hc_real, wc_real, wd, cp, x_hbm, h0_ref, f0_ref,
     h1v = sft_ref[3]
 
     x32 = xtile[slot].astype(jnp.float32)
-    # in-frame mask over the full region: coarse row in [0, hc_real),
-    # coarse col < wc_real (fine rows/cols pair 1:1 with coarse here)
-    ln_full = lax.broadcasted_iota(jnp.int32, (4 * cp, lanes), 1)
-    col_full = ln_full & (wd - 1)
+    # in-frame mask over the region: coarse row in [0, hc_real), coarse
+    # col < wc_real (fine rows/cols pair 1:1 with coarse here).  Built at
+    # (cp, lanes) — a (4*cp, lanes) iota SIGABRTs the Mosaic compiler —
+    # and applied per 2-plane slice.
+    ln = lax.broadcasted_iota(jnp.int32, (2 * cp, lanes), 1)
+    colp2 = ln & (wd - 1)
     logw = wd.bit_length() - 1
-    row_full = (ln_full >> logw) + (i * th - 2)
-    in_frame = ((row_full >= 0) & (row_full < hc_real)
-                & (col_full < wc_real))
-    a32 = jnp.where(in_frame, x32 * s0 + h0v, 0.0)
+    rowp2 = (ln >> logw) + (i * th - 2)
+    in_frame = ((rowp2 >= 0) & (rowp2 < hc_real) & (colp2 < wc_real))
 
-    colp = _col_plane(cp, lanes, wd)
-    _build_kbuf(kbuf, a32, colp, wc_real, cp, dt)
+    def sft0(r1):
+        sl = lax.slice_in_dim(x32, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
+        sv = lax.slice_in_dim(s0, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
+        hv = lax.slice_in_dim(h0v, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
+        return jnp.where(in_frame, sl * sv + hv, 0.0)
+
+    colp = lax.slice_in_dim(colp2, 0, cp, axis=0)
+    _build_kbuf(kbuf, sft0, colp, wc_real, cp, dt)
     a0, a1 = _planar_dots(kbuf, h0_ref, f0_ref, cp, cp, wd, nmid)
     m0 = _gelu(a0 + b0_ref[pl.ds(0, 2 * cp)]) * \
         lax.slice_in_dim(s1, 0, 2 * cp, axis=0) + \
@@ -335,11 +346,9 @@ def _rsft_planar_kernel(hc_real, wc_real, wd, cp, x_hbm, h0_ref, f0_ref,
         lax.slice_in_dim(s1, 2 * cp, 4 * cp, axis=0) + \
         lax.slice_in_dim(h1v, 2 * cp, 4 * cp, axis=0)
     # conv1 must see zero outside the frame (bias/shift pollute pad rows)
-    in_frame_m = lax.slice_in_dim(in_frame, wd, wd + nmid, axis=1)
-    okm0 = lax.slice_in_dim(in_frame_m, 0, 2 * cp, axis=0)
-    okm1 = lax.slice_in_dim(in_frame_m, 2 * cp, 4 * cp, axis=0)
-    mid[pl.ds(0, 2 * cp), :] = jnp.where(okm0, m0, 0.0).astype(dt)
-    mid[pl.ds(2 * cp, 2 * cp), :] = jnp.where(okm1, m1, 0.0).astype(dt)
+    okm = lax.slice_in_dim(in_frame, wd, wd + nmid, axis=1)
+    mid[pl.ds(0, 2 * cp), :] = jnp.where(okm, m0, 0.0).astype(dt)
+    mid[pl.ds(2 * cp, 2 * cp), :] = jnp.where(okm, m1, 0.0).astype(dt)
 
     m32 = mid[...].astype(jnp.float32)
     colm = _col_plane(cp, nmid, wd)
@@ -399,3 +408,339 @@ def rsft_planar(xp, w0, b0, w1, b1, scale0, shift0, scale1, shift1, *,
         interpret=interpret,
     )(xf, h0m, f0m, bp0, h1m, f1m, bp1, sft)
     return out.reshape(4 * cp, hc, wd)
+
+
+# --------------------------------------------------------------------- #
+# Fused stage kernels.
+#
+# The MXU-parallelism probes (tools/planar_diag3/4.py) show chained
+# well-shaped dots inside one kernel run at ~99 TF/s while a lone dot per
+# tile sits at ~25-66 TF/s: the per-tile pipeline ramp dominates.  So the
+# production decode fuses a WHOLE decoder stage per kernel — 9-12 chained
+# MXU dots between HBM round-trips:
+#
+#   stage kernel A (stride-2 NeRVBlock): upconv (dy3-style, planar-ordered
+#     output) -> sin -> fused TAT ResBlock, all on the coarse grid;
+#   stage kernel B (stride-1 NeRVBlock [+ head]): planar conv -> sin ->
+#     fused TAT ResBlock [-> head conv -> OutImg].
+#
+# Weight matrices are prepared ONCE at build time (prepare_*); only the
+# per-frame SFT scale/shift vectors enter per call.
+# --------------------------------------------------------------------- #
+
+
+def upconv_bias_to_planar(bias, cp):
+    """(4*C,) upconv bias (PixelShuffle channel order) -> (4*Cp, 1)."""
+    c = bias.shape[0] // 4
+    b = bias.astype(jnp.float32).reshape(4, c)
+    b = jnp.pad(b, ((0, 0), (0, cp - c)))
+    return b.reshape(4 * cp, 1)
+
+
+def _rsft_mats(w0, b0, w1, b1, cp):
+    h0m, f0m = planar_conv_mats(w0, cp, cp)
+    h1m, f1m = planar_conv_mats(w1, cp, cp)
+    return dict(h0=h0m, f0=f0m, b0=_planar_bias(b0, cp),
+                h1=h1m, f1=f1m, b1=_planar_bias(b1, cp))
+
+
+def prepare_upconv_rsft(upk, upb, w0, b0, w1, b1, *, c_in, c):
+    """Build-time weights for stage kernel A.  upk: HWIO (3, 3, C_in,
+    4*C) stride-2 pshuffel upconv; w0/w1/b0/b1: the TAT block convs."""
+    cpi = _round16(c_in)
+    cp = _round16(c)
+    kp = upconv_kernel_to_planar(upk, cp)
+    kp = jnp.pad(kp, ((0, 0), (0, 0), (0, cpi - c_in), (0, 0)))
+    return dict(wup=_stack_weights_dy(kp, cpi, 4 * cp),
+                bup=upconv_bias_to_planar(upb, cp),
+                **_rsft_mats(w0, b0, w1, b1, cp))
+
+
+def prepare_conv_rsft(ck, cb, w0, b0, w1, b1, *, c, head_k=None,
+                      head_b=None):
+    """Build-time weights for stage kernel B.  ck: HWIO (3, 3, C, C)
+    stride-1 conv; optional head_k: HWIO (3, 3, C, 3)."""
+    cp = _round16(c)
+    hm, fm = planar_conv_mats(ck, cp, cp)
+    prep = dict(hc=hm, fc=fm, bc=_planar_bias(cb, cp),
+                **_rsft_mats(w0, b0, w1, b1, cp))
+    if head_k is not None:
+        hh, fh = planar_conv_mats(head_k, cp, 16)
+        prep.update(hh=hh, fh=fh, bh=_planar_bias(head_b, 16))
+    return prep
+
+
+def sft_planar_vectors(scale0, shift0, scale1, shift1, cp):
+    """Per-frame SFT vectors -> (4, 4*Cp, 1) planar broadcast (XLA)."""
+    return jnp.stack([_planar_vec(v, cp) for v in
+                      (scale0, shift0, scale1, shift1)])
+
+
+def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, src_ref, src_off,
+                sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref, b1_ref,
+                kb1, mid, kb2, out_write):
+    """The fused TAT block on a VMEM-resident planar region.
+
+    src_ref: (4*Cp, >= src_off + (th+4)*wd) region whose lane src_off
+    corresponds to coarse row `row0` - 2 (row0 = abs row of output row
+    0).  out_write(py, block) stores the (2*Cp, th*wd) result rows."""
+    lanes = (th + 4) * wd
+    nmid = (th + 2) * wd
+    nout = th * wd
+    s0 = sft_ref[0] + 1.0
+    h0v = sft_ref[1]
+    s1 = sft_ref[2] + 1.0
+    h1v = sft_ref[3]
+
+    ln = lax.broadcasted_iota(jnp.int32, (2 * cp, lanes), 1)
+    colp2 = ln & (wd - 1)
+    logw = wd.bit_length() - 1
+    rowp2 = (ln >> logw) + (row0 - 2)
+    in_frame = ((rowp2 >= 0) & (rowp2 < hc_real) & (colp2 < wc_real))
+
+    def sft0(r1):
+        sl = src_ref[pl.ds(r1 * 2 * cp, 2 * cp), pl.ds(src_off, lanes)]
+        sl = sl.astype(jnp.float32)
+        sv = lax.slice_in_dim(s0, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
+        hv = lax.slice_in_dim(h0v, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
+        return jnp.where(in_frame, sl * sv + hv, 0.0)
+
+    colp = lax.slice_in_dim(colp2, 0, cp, axis=0)
+    _build_kbuf(kb1, sft0, colp, wc_real, cp, dt)
+    a0, a1 = _planar_dots(kb1, h0_ref, f0_ref, cp, cp, wd, nmid)
+    m0 = _gelu(a0 + b0_ref[pl.ds(0, 2 * cp)]) * \
+        lax.slice_in_dim(s1, 0, 2 * cp, axis=0) + \
+        lax.slice_in_dim(h1v, 0, 2 * cp, axis=0)
+    m1 = _gelu(a1 + b0_ref[pl.ds(2 * cp, 2 * cp)]) * \
+        lax.slice_in_dim(s1, 2 * cp, 4 * cp, axis=0) + \
+        lax.slice_in_dim(h1v, 2 * cp, 4 * cp, axis=0)
+    okm = lax.slice_in_dim(in_frame, wd, wd + nmid, axis=1)
+    mid[pl.ds(0, 2 * cp), :] = jnp.where(okm, m0, 0.0).astype(dt)
+    mid[pl.ds(2 * cp, 2 * cp), :] = jnp.where(okm, m1, 0.0).astype(dt)
+
+    m32 = mid[...].astype(jnp.float32)
+    colm = _col_plane(cp, nmid, wd)
+    _build_kbuf(kb2, m32, colm, wc_real, cp, dt)
+    r0, r1 = _planar_dots(kb2, h1_ref, f1_ref, cp, cp, wd, nout)
+    for py, r in ((0, r0), (1, r1)):
+        resid = src_ref[pl.ds(py * 2 * cp, 2 * cp),
+                        pl.ds(src_off + 2 * wd, nout)].astype(jnp.float32)
+        out_write(py, (r + b1_ref[pl.ds(py * 2 * cp, 2 * cp)] + resid))
+
+
+def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, x_hbm, wup_ref,
+                        bup_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref,
+                        b1_ref, sft_ref, out_ref, xtile, shbuf, abuf, kb1,
+                        mid, kb2, sem):
+    """Stage kernel A: stride-2 upconv -> sin -> TAT block, all fused.
+    x_hbm: (Cpi, Hp*wd) interleaved input with THREE zero halo rows."""
+    nout = out_ref.shape[1]
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    lanes_in = (th + 6) * wd
+    n_a = (th + 4) * wd
+
+    def cp_dma(step, slot):
+        src = pl.multiple_of(step * th * wd, th * wd)
+        return pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes_in)],
+                                     xtile.at[slot], sem.at[slot])
+
+    slot = lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cp_dma(i, slot).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        cp_dma(i + 1, 1 - slot).start()
+
+    cp_dma(i, slot).wait()
+
+    x32 = xtile[slot].astype(jnp.float32)
+    colp_i = _col_plane(cpi, lanes_in, wd)
+    _preshift_into(shbuf, x32, colp_i, wc_real, dt, cpi)
+    acc = jnp.zeros((4 * cp, n_a), jnp.float32)
+    for dy in range(3):
+        acc = acc + lax.dot(wup_ref[dy], shbuf[:, pl.ds(dy * wd, n_a)],
+                            preferred_element_type=jnp.float32)
+    abuf[...] = _sin_poly(acc + bup_ref[...]).astype(dt)
+
+    def out_write(py, val):
+        out_ref[pl.ds(py * 2 * cp, 2 * cp), :] = val.astype(dt)
+
+    _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, dt, abuf, 0,
+                sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref, b1_ref,
+                kb1, mid, kb2, out_write)
+
+
+def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH,
+                      interpret=False):
+    """Stage kernel A wrapper.  x: (C_in, Hc, Wd) interleaved bf16 on the
+    coarse grid (Wd a power of two); prep: prepare_upconv_rsft output;
+    sft: (4, 4*Cp, 1) planar SFT vectors.  Returns (4*Cp, Hc, Wd) planar
+    — the stage's fine (C, 2*Hc, 2*Wc) output."""
+    ci, hc, wd = x.shape
+    assert wd & (wd - 1) == 0 and wd >= 128, wd
+    cpi = _round16(c_in)
+    cp = _round16(c)
+    grid = pl.cdiv(hc, th)
+    hp = grid * th + 6
+    xf = jnp.pad(x, ((0, cpi - ci), (3, hp - hc - 3), (0, 0)))
+    xf = xf.reshape(cpi, hp * wd)
+    fn = functools.partial(_upconv_rsft_kernel, hc, wc_real, wd, cpi, cp,
+                           th)
+    out = pl.pallas_call(
+        fn,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=pl.BlockSpec((4 * cp, th * wd), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4 * cp, hc * wd), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, cpi, (th + 6) * wd), x.dtype),
+            pltpu.VMEM((3 * cpi, (th + 6) * wd), x.dtype),
+            pltpu.VMEM((4 * cp, (th + 4) * wd), x.dtype),
+            pltpu.VMEM((8 * cp, (th + 4) * wd), x.dtype),
+            pltpu.VMEM((4 * cp, (th + 2) * wd), x.dtype),
+            pltpu.VMEM((8 * cp, (th + 2) * wd), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, prep["wup"], prep["bup"], prep["h0"], prep["f0"], prep["b0"],
+      prep["h1"], prep["f1"], prep["b1"], sft)
+    return out.reshape(4 * cp, hc, wd)
+
+
+def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, x_hbm, hc_ref,
+                      fc_ref, bc_ref, h0_ref, f0_ref, b0_ref, h1_ref,
+                      f1_ref, b1_ref, hh_ref, fh_ref, bh_ref, sft_ref,
+                      out_ref, xtile, cbuf, kb1, mid, kb2, rbuf, sem):
+    """Stage kernel B: planar conv -> sin -> TAT block [-> head+OutImg].
+    x_hbm: planar with `halo` zero coarse rows (4 with head, 3 without)."""
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    halo = 4 if head else 3
+    lanes_in = (th + 2 * halo) * wd
+    n_c = (th + 2 * halo - 2) * wd       # conv output region
+    n_r = (th + 2) * wd if head else th * wd
+
+    def cp_dma(step, slot):
+        src = pl.multiple_of(step * th * wd, th * wd)
+        return pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes_in)],
+                                     xtile.at[slot], sem.at[slot])
+
+    slot = lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cp_dma(i, slot).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        cp_dma(i + 1, 1 - slot).start()
+
+    cp_dma(i, slot).wait()
+
+    # planar conv + sin -> cbuf (region rows i*th - halo + 1 ..)
+    x32 = xtile[slot].astype(jnp.float32)
+    colp = _col_plane(cp, lanes_in, wd)
+    _build_kbuf(kb1, x32, colp, wc_real, cp, dt)
+    c0, c1 = _planar_dots(kb1, hc_ref, fc_ref, cp, cp, wd, n_c)
+    cbuf[pl.ds(0, 2 * cp), :] = _sin_poly(
+        c0 + bc_ref[pl.ds(0, 2 * cp)]).astype(dt)
+    cbuf[pl.ds(2 * cp, 2 * cp), :] = _sin_poly(
+        c1 + bc_ref[pl.ds(2 * cp, 2 * cp)]).astype(dt)
+
+    if not head:
+        def out_write(py, val):
+            out_ref[pl.ds(py * 2 * cp, 2 * cp), :] = val.astype(dt)
+
+        _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, dt, cbuf, 0,
+                    sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref,
+                    b1_ref, kb1, mid, kb2, out_write)
+        return
+
+    # with head: TAT emits th+2 rows into rbuf (masked), head eats them.
+    # rbuf region rows: i*th - 1 + r.
+    thr = th + 2
+    lnr = lax.broadcasted_iota(jnp.int32, (2 * cp, n_r), 1)
+    colr = lnr & (wd - 1)
+    logw = wd.bit_length() - 1
+    rowr = (lnr >> logw) + (i * th - 1)
+    ok_r = (rowr >= 0) & (rowr < hc_real) & (colr < wc_real)
+
+    def out_write_r(py, val):
+        rbuf[pl.ds(py * 2 * cp, 2 * cp), :] = jnp.where(
+            lax.slice_in_dim(ok_r, 0, n_r, axis=1), val, 0.0).astype(dt)
+
+    _rsft_chain(i * th - 1, thr, wd, cp, hc_real, wc_real, dt, cbuf, 0,
+                sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref, b1_ref,
+                kb1, mid, kb2, out_write_r)
+
+    r32 = rbuf[...].astype(jnp.float32)
+    colh = _col_plane(cp, n_r, wd)
+    _build_kbuf(kb1, r32, colh, wc_real, cp, dt)
+    h0o, h1o = _planar_dots(kb1, hh_ref, fh_ref, cp, 16, wd, th * wd)
+    out_ref[pl.ds(0, 32), :] = _outimg(
+        h0o + bh_ref[pl.ds(0, 32)]).astype(dt)
+    out_ref[pl.ds(32, 32), :] = _outimg(
+        h1o + bh_ref[pl.ds(32, 32)]).astype(dt)
+
+
+def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
+                    interpret=False):
+    """Stage kernel B wrapper.  xp: (4*Cp, Hc, Wd) planar bf16; prep:
+    prepare_conv_rsft output; sft: (4, 4*Cp, 1).  Returns (4*Cp, Hc, Wd)
+    planar, or with head=True the (64, Hc, Wd) planar RGB (plane p rows
+    [16p, 16p+3))."""
+    g, hc, wd = xp.shape
+    assert wd & (wd - 1) == 0 and wd >= 128, wd
+    cp = g // 4
+    assert cp == _round16(c), (cp, c)
+    halo = 4 if head else 3
+    grid = pl.cdiv(hc, th)
+    hp = grid * th + 2 * halo
+    xf = jnp.pad(xp, ((0, 0), (halo, hp - hc - halo), (0, 0)))
+    xf = xf.reshape(4 * cp, hp * wd)
+    gout = 64 if head else 4 * cp
+    n_r = (th + 2) * wd if head else th * wd
+    dummy = jnp.zeros((2, 8, 128), jnp.bfloat16)
+    hh = prep.get("hh", dummy)
+    fh = prep.get("fh", dummy)
+    bh = prep.get("bh", jnp.zeros((64, 1), jnp.float32))
+    fn = functools.partial(_conv_rsft_kernel, hc, wc_real, wd, cp, th,
+                           head)
+    out = pl.pallas_call(
+        fn,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        out_specs=pl.BlockSpec((gout, th * wd), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gout, hc * wd), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4 * cp, (th + 2 * halo) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, (th + 2 * halo - 2) * wd), xp.dtype),
+            pltpu.VMEM((8 * cp, (th + 2 * halo) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, (th + 2 * halo - 4) * wd), xp.dtype),
+            pltpu.VMEM((8 * cp, (th + 2 * halo - 4) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, n_r) if head else (8, 128), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, prep["hc"], prep["fc"], prep["bc"], prep["h0"], prep["f0"],
+      prep["b0"], prep["h1"], prep["f1"], prep["b1"], hh, fh, bh, sft)
+    return out.reshape(gout, hc, wd)
+
+
+def rgb_planar_to_nhwc(out_planar, hc, wc_real):
+    """(64, Hc, Wd) planar RGB -> (1, 2*Hc, 2*Wc, 3) in [0,1] (XLA)."""
+    x = out_planar.reshape(2, 2, 16, hc, -1)[:, :, :3, :, :wc_real]
+    x = x.transpose(3, 0, 4, 1, 2)  # (Hc, r1, Wc, r2, 3)
+    return x.reshape(1, 2 * hc, 2 * wc_real, 3)

@@ -426,3 +426,146 @@ def build_fast_decode(cfg: BoostConfig, params,
         return out.transpose(1, 2, 0)[None]
 
     return decode
+
+
+def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
+                         th: int = 8, interpret: bool = False) -> Callable:
+    """v5: fused-stage subpixel-planar tail (ops/pallas/planar).
+
+    Every stride-2 NeRVBlock from the first whose FINE output height
+    reaches `planar_from_h` runs as ONE Pallas kernel on the coarse grid
+    (upconv -> sin -> TAT fused; 9 chained MXU dots per tile), each
+    following stride-1 block as another (conv -> sin -> TAT [-> head],
+    12-15 chained dots).  Tensors stay in subpixel-planar layout between
+    kernels — no depth-to-space, crop or re-pad interludes anywhere in
+    the tail; the only relayouts are one XLA interleave before each
+    stride-2 stage and the final 12-channel planar->RGB expansion.
+    Motivation + measured dot-pipeline numbers: tools/planar_diag*.py,
+    CLAUDE.md round-3 notes.  Matches /root/reference/model_hnerv.py:
+    224-251 decode semantics."""
+    if not (cfg.model == "HNeRV_Boost" and cfg.conv_type[1] == "pshuffel_3x3"
+            and cfg.act == "sin" and cfg.sft_block == "res_sft"
+            and cfg.norm == "none"):
+        raise ValueError("fast decode supports the HNeRV-Boost paper config "
+                         "(pshuffel_3x3 / sin / res_sft / no norm)")
+    from ..ops.pallas import planar as pk
+
+    p = params["params"] if "params" in params else params
+    p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, DT), p)
+    pe = PEConfig.from_string(cfg.embed, cfg.lfreq)
+    plan = decoder_stage_plan(cfg, cfg.fc_dim, hnerv_style=True)
+
+    out_hw = []
+    h_cur, w_cur = cfg.fc_h, cfg.fc_w
+    for spec in plan:
+        h_cur, w_cur = h_cur * spec.strd, w_cur * spec.strd
+        out_hw.append((h_cur, w_cur))
+
+    # switch: first stride-2 3x3 stage whose fine output height clears the
+    # threshold AND from which the rest of the plan is planar-eligible
+    switch_at = len(plan)
+    for start in range(len(plan)):
+        if plan[start].strd != 2 or min(plan[start].ks, 3) != 3:
+            continue
+        if out_hw[start][0] < planar_from_h:
+            continue
+        if all(plan[j].strd in (1, 2) and min(plan[j].ks, 3) == 3
+               for j in range(start, len(plan))):
+            switch_at = start
+            break
+    if switch_at == len(plan):
+        raise ValueError("no planar-eligible tail for this config")
+    head_fused = plan[-1].strd == 1
+
+    def _pow2(v):
+        w = 128
+        while w < v:
+            w *= 2
+        return w
+
+    # ---- build-time weight preparation --------------------------------- #
+    preps = []
+    for bi in range(switch_at, len(plan)):
+        blk = p[f"blocks_{bi}"]
+        conv = blk["UpConv_0"]["TConv_0"]["Conv_0"]
+        rsft = blk["ResBlockSFT_0"]
+        w0 = rsft["TConv_0"]["Conv_0"]["kernel"]
+        b0 = rsft["TConv_0"]["Conv_0"]["bias"]
+        w1 = rsft["TConv_1"]["Conv_0"]["kernel"]
+        b1 = rsft["TConv_1"]["Conv_0"]["bias"]
+        c = plan[bi].new_ngf
+        if plan[bi].strd == 2:
+            prep = pk.prepare_upconv_rsft(
+                conv["kernel"], conv["bias"], w0, b0, w1, b1,
+                c_in=plan[bi].ngf, c=c)
+        else:
+            is_last = bi == len(plan) - 1
+            head = p["head"]["Conv_0"] if (is_last and head_fused) else None
+            prep = pk.prepare_conv_rsft(
+                conv["kernel"], conv["bias"], w0, b0, w1, b1, c=c,
+                head_k=head["kernel"] if head else None,
+                head_b=head["bias"] if head else None)
+        preps.append(prep)
+
+    def decode(embed, t):
+        pe_t = position_encoding(t, pe).astype(DT)
+        t_embed = _mlp_sin(p["stem_t"], pe_t, 2)
+
+        x = embed.astype(DT)
+        stem = p["stem"]
+        x = _conv_nhwc(stem["DownConv_0"]["TConv_0"]["Conv_0"], x, 0)
+        x = jnp.sin(x)
+        x = _rsft_apply_nhwc(stem["ResBlockSFT_0"], x, t_embed)
+
+        for bi in range(switch_at):
+            spec = plan[bi]
+            blk = p[f"blocks_{bi}"]
+            conv = blk["UpConv_0"]["TConv_0"]["Conv_0"]
+            ks = min(spec.ks, 3)
+            x = _conv_nhwc(conv, x, (ks - 1) // 2)
+            if spec.strd > 1:
+                x = _d2s_nhwc(x, spec.strd)
+            x = jnp.sin(x)
+            x = _rsft_apply_nhwc(blk["ResBlockSFT_0"], x, t_embed)
+
+        # interleaved (C, Hc, Wd) input of the first planar stage
+        chw = x[0].transpose(2, 0, 1)
+        hc, wc = chw.shape[1], chw.shape[2]
+        wd = _pow2(wc)
+        chw = jnp.pad(chw, ((0, 0), (0, 0), (0, wd - wc)))
+
+        planar = None
+        for off, bi in enumerate(range(switch_at, len(plan))):
+            spec = plan[bi]
+            rsft = p[f"blocks_{bi}"]["ResBlockSFT_0"]
+            c = spec.new_ngf
+            cp = (c + 15) // 16 * 16
+            (s0v, h0v), (s1v, h1v) = _sft_vectors(rsft, t_embed)
+            f32 = lambda v: v[0].astype(jnp.float32)
+            sft = pk.sft_planar_vectors(f32(s0v), f32(h0v), f32(s1v),
+                                        f32(h1v), cp)
+            if spec.strd == 2:
+                if planar is not None:
+                    # interleave the previous planar tensor (XLA)
+                    fine = pk.from_planar(planar, spec.ngf)[:, :, :2 * wc]
+                    hc, wc = fine.shape[1], fine.shape[2]
+                    wd = _pow2(wc)
+                    chw = jnp.pad(fine, ((0, 0), (0, 0), (0, wd - wc)))
+                planar = pk.fused_upconv_rsft(
+                    chw, preps[off], sft, c_in=spec.ngf, c=c, wc_real=wc,
+                    th=th, interpret=interpret)
+            else:
+                is_last_head = head_fused and bi == len(plan) - 1
+                planar = pk.fused_conv_rsft(
+                    planar, preps[off], sft, c=c, wc_real=wc,
+                    head=is_last_head, th=th, interpret=interpret)
+
+        if head_fused:
+            return pk.rgb_planar_to_nhwc(planar, hc, wc).astype(DT)
+        # stride-2-final configs: head on the interleaved fine tensor
+        fine = pk.from_planar(planar, plan[-1].new_ngf)[:, :, :2 * wc]
+        head = p["head"]["Conv_0"]
+        out = _conv_nhwc(head, fine.transpose(1, 2, 0)[None], 1)
+        return jnp.tanh(out) * 0.5 + 0.5
+
+    return decode

@@ -116,3 +116,102 @@ class TestRsftPlanar:
         ref = _ref_rsft(xf, w0, b0, w1, b1, s0, h0, s1, h1)
         err = float(jnp.abs(fine.astype(jnp.float32) - ref).max())
         assert err < 0.05 * max(float(jnp.abs(ref).max()), 1.0), err
+
+
+class TestFusedStageKernels:
+    def _rand(self, *shape, s=0.2):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * s)
+
+    def test_fused_upconv_rsft(self):
+        from boosting_nerv_tpu.ops.pallas.planar import (
+            fused_upconv_rsft, prepare_upconv_rsft, sft_planar_vectors)
+        from boosting_nerv_tpu.ops.pixelshuffle import depth_to_space
+
+        c_in, c, hc, wc, wd = 6, 5, 9, 50, 128
+        x = self._rand(c_in, hc, wc)
+        upk = self._rand(3, 3, c_in, 4 * c)
+        upb = self._rand(4 * c, s=0.1)
+        w0, w1 = self._rand(3, 3, c, c), self._rand(3, 3, c, c)
+        b0, b1 = self._rand(c, s=0.1), self._rand(c, s=0.1)
+        s0, h0, s1, h1 = [self._rand(c, s=0.3) for _ in range(4)]
+
+        # fine-grid reference: conv -> d2s -> sin -> rsft
+        y = lax.conv_general_dilated(
+            x.transpose(1, 2, 0)[None], upk, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + upb
+        fine = jnp.sin(depth_to_space(y, 2))[0].transpose(2, 0, 1)
+        ref = _ref_rsft(fine, w0, b0, w1, b1, s0, h0, s1, h1)
+
+        prep = prepare_upconv_rsft(upk, upb, w0, b0, w1, b1, c_in=c_in,
+                                   c=c)
+        sft = sft_planar_vectors(s0, h0, s1, h1, 16)
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, wd - wc))).astype(jnp.bfloat16)
+        out = fused_upconv_rsft(xp, prep, sft, c_in=c_in, c=c, wc_real=wc,
+                                th=4, interpret=True)
+        got = from_planar(out, c)[:, :, :2 * wc]
+        err = float(jnp.abs(got.astype(jnp.float32) - ref).max())
+        assert err < 0.05 * max(float(jnp.abs(ref).max()), 1.0), err
+
+    @pytest.mark.parametrize("head", [False, True])
+    def test_fused_conv_rsft(self, head):
+        from boosting_nerv_tpu.ops.pallas.planar import (
+            fused_conv_rsft, prepare_conv_rsft, rgb_planar_to_nhwc,
+            sft_planar_vectors)
+
+        c, hc, wc, wd = 5, 11, 50, 128
+        xf = self._rand(c, 2 * hc, 2 * wc)
+        ck = self._rand(3, 3, c, c)
+        cb = self._rand(c, s=0.1)
+        w0, w1 = self._rand(3, 3, c, c), self._rand(3, 3, c, c)
+        b0, b1 = self._rand(c, s=0.1), self._rand(c, s=0.1)
+        s0, h0, s1, h1 = [self._rand(c, s=0.3) for _ in range(4)]
+        hk = self._rand(3, 3, c, 3)
+        hb = self._rand(3, s=0.1)
+
+        mid = jnp.sin(_ref_conv(xf, ck, cb))
+        ref = _ref_rsft(mid, w0, b0, w1, b1, s0, h0, s1, h1)
+        if head:
+            ref = jnp.tanh(_ref_conv(ref, hk, hb)) * 0.5 + 0.5
+
+        prep = prepare_conv_rsft(ck, cb, w0, b0, w1, b1, c=c,
+                                 head_k=hk if head else None,
+                                 head_b=hb if head else None)
+        sft = sft_planar_vectors(s0, h0, s1, h1, 16)
+        xp = to_planar(xf.astype(jnp.bfloat16))
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wd - wc)))
+        out = fused_conv_rsft(xp, prep, sft, c=c, wc_real=wc, head=head,
+                              th=4, interpret=True)
+        if head:
+            got = rgb_planar_to_nhwc(out, hc, wc)[0].transpose(2, 0, 1)
+            ref = ref
+        else:
+            got = from_planar(out, c)[:, :, :2 * wc]
+        err = float(jnp.abs(got.astype(jnp.float32) - ref).max())
+        assert err < 0.05 * max(float(jnp.abs(ref).max()), 1.0), err
+
+
+class TestFastDecodeV5:
+    def test_matches_flax_decode(self):
+        from boosting_nerv_tpu.config import BoostConfig
+        from boosting_nerv_tpu.models import build_model
+        from boosting_nerv_tpu.runtime.fast_decode import build_fast_decode_v5
+
+        cfg = BoostConfig(
+            model="HNeRV_Boost", embed="pe_1.25_20", fc_dim=12,
+            dec_strds=[2, 2], dec_blks=[1, 2], ks="0_1_5",
+            conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+            sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4,
+            enc_strds=[2, 2], enc_dim="8_4")
+        model = build_model(cfg)
+        img = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)).astype(np.float32))
+        t = jnp.array([0.4])
+        params = model.init(jax.random.key(0), img, t)
+        embed = model.apply(params, img, method="encode")
+        ref = model.apply(params, embed, t, method="decode")
+
+        dec = build_fast_decode_v5(cfg, params, planar_from_h=1, th=4,
+                                   interpret=True)
+        out = dec(embed, t)
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+        assert err < 0.02, err

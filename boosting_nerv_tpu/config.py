@@ -127,6 +127,12 @@ class BoostConfig:
     # "high" (3-pass bf16) measured convergence-identical and is the
     # recommended speed knob at >=720p.
     train_precision: str = "highest"
+    # gradient accumulation: split the frame batch into micro-batches of
+    # this size inside the jitted step (lax.scan), averaging gradients —
+    # b>=2 semantics at b=micro activation memory. 0 = off. The XLA
+    # lane-padding of narrow-channel NHWC temps makes full b>=2 batches
+    # OOM at 720p+ on one chip (CLAUDE.md); this is the memory-safe path.
+    micro_batch: int = 0
     # rematerialize the forward in the backward pass (jax.checkpoint):
     # trades ~30% step time for activation memory, enabling 1080p training
     # and larger frame batches on a single chip

@@ -190,7 +190,7 @@ class RegressionTrainer:
         fwd = (jax.checkpoint(self._forward) if cfg.remat
                else self._forward)
 
-        def step(params, opt_state, img, t, lr):
+        def loss_and_grads(params, img, t):
             img_in = jnp.clip(img * mask, 0, 1) if mask is not None else img
 
             def lossf(p):
@@ -202,9 +202,39 @@ class RegressionTrainer:
                 return l, out
 
             (l, out), grads = jax.value_and_grad(lossf, has_aux=True)(params)
-            updates, opt_state = self.opt.update(grads, opt_state, params, lr=lr)
+            return l, out, grads
+
+        mb = cfg.micro_batch
+
+        def step(params, opt_state, img, t, lr):
+            if mb and img.shape[0] > mb and img.shape[0] % mb == 0:
+                # gradient accumulation: scan over micro-batches so the
+                # activation working set stays at micro_batch frames
+                n_chunks = img.shape[0] // mb
+                imgs = img.reshape((n_chunks, mb) + img.shape[1:])
+                tsc = t.reshape(n_chunks, mb)
+
+                def body(acc, chunk):
+                    ci, ct = chunk
+                    l, out, grads = loss_and_grads(params, ci, ct)
+                    g_acc, l_acc = acc
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                    return (g_acc, l_acc + l), psnr_per_frame(out, ci)
+
+                zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (g_sum, l_sum), psnrs = jax.lax.scan(
+                    body, (zero_g, jnp.float32(0.0)), (imgs, tsc))
+                grads = jax.tree_util.tree_map(
+                    lambda g: g / n_chunks, g_sum)
+                l = l_sum / n_chunks
+                psnr = psnrs.reshape(-1)
+            else:
+                l, out, grads = loss_and_grads(params, img, t)
+                psnr = psnr_per_frame(out, img)
+            updates, opt_state = self.opt.update(grads, opt_state, params,
+                                                 lr=lr)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, l, psnr_per_frame(out, img)
+            return params, opt_state, l, psnr
 
         self.train_step = jax.jit(step, donate_argnums=(0, 1))
 

@@ -152,3 +152,51 @@ class TestResidentDataset:
         for x, y in zip(fa, fb):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=2e-5, rtol=1e-4)
+
+
+class TestMicroBatchAccumulation:
+    def test_matches_full_batch_step(self, tmp_path):
+        """--micro_batch k must reproduce the full-batch update (grad of
+        mean-of-chunk-means == full-batch mean for equal chunks)."""
+        import os
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from boosting_nerv_tpu.config import BoostConfig
+        from boosting_nerv_tpu.data import VideoData, synthetic_video
+        from boosting_nerv_tpu.training.trainer import RegressionTrainer
+        from boosting_nerv_tpu.utils.logger import RunLogger
+
+        frames = synthetic_video(4, 8, 16)
+        base = dict(
+            model="HNeRV_Boost", embed="pe_1.25_20", fc_hw="2_4", fc_dim=12,
+            dec_strds=[2, 2], dec_blks=[1, 1], ks="0_1_5",
+            conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+            sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4,
+            enc_strds=[2, 2], enc_dim="8_4", enc_blks=1, epochs=1,
+            batchSize=4, lr=1e-3, loss="Fusion10_freq", not_resume=True)
+        outs = {}
+        for tag, mb in (("full", 0), ("micro", 2)):
+            cfg = BoostConfig(**base, micro_batch=mb,
+                              outf=os.path.join(str(tmp_path), tag))
+            video = VideoData(frames)
+            tr = RegressionTrainer(cfg, video=video,
+                                   logger=RunLogger(cfg.outf,
+                                                    enable_tb=False))
+            batch = video.get_batch(list(range(4)))
+            img, t = tr._device_batch(batch)
+            params, _, loss, psnr = tr.train_step(
+                tr.params, tr.opt_state, img, t, jnp.float32(1e-3))
+            outs[tag] = (float(loss), np.sort(np.asarray(psnr).ravel()),
+                         params)
+        np.testing.assert_allclose(outs["full"][0], outs["micro"][0],
+                                   rtol=2e-5)
+        np.testing.assert_allclose(outs["full"][1], outs["micro"][1],
+                                   rtol=1e-4)
+        fa = jax.tree_util.tree_leaves(outs["full"][2])
+        mi = jax.tree_util.tree_leaves(outs["micro"][2])
+        for a, b in zip(fa, mi):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-5)

@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--remat', action='store_true',
                    help='rematerialize the forward in backward (saves '
                         'activation memory at ~30%% step-time cost)')
+    p.add_argument('--micro_batch', type=int, default=0,
+                   help='gradient-accumulation micro-batch size: b>=2 '
+                        'batches at the activation memory of this many '
+                        'frames (0 = off)')
     p.add_argument('--train_precision', type=str, default='highest',
                    choices=['highest', 'high', 'default'],
                    help='matmul precision for training (see config.py)')
@@ -149,6 +153,7 @@ def args_to_config(args):
         debug=args.debug, print_freq=args.print_freq, weight=args.weight,
         overwrite=args.overwrite, outf=outf, suffix=args.suffix,
         dp=dp, sp=args.sp, profile=args.profile, remat=args.remat,
+        micro_batch=args.micro_batch,
         train_precision=args.train_precision,
     )
     return cfg

@@ -153,9 +153,21 @@ def _planar_vec(v, cp):
 
 def _col_plane(rows, lanes, wd):
     """lane-index -> coarse column plane, (rows, lanes) int32.  wd must be
-    a power of two (asserted by the wrappers)."""
+    a power of two (asserted by the wrappers).  Safe up to 64 sublanes —
+    larger iotas (and `>>` on them) SIGABRT the Mosaic compiler; bigger
+    masks use the resident planes from _region_planes instead."""
     ln = lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
     return ln & (wd - 1)
+
+
+def _region_planes(rows, nrows, wd):
+    """Resident (2, rows, nrows*wd) int32 [region-row, col] planes (the
+    tile_conv.py pattern: no big in-kernel iota/shift)."""
+    r = np.repeat(np.arange(nrows, dtype=np.int32), wd)
+    c = np.tile(np.arange(wd, dtype=np.int32), nrows)
+    planes = np.stack([r, c])[:, None, :]
+    return jnp.asarray(
+        np.broadcast_to(planes, (2, rows, nrows * wd)).copy())
 
 
 def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
@@ -284,8 +296,9 @@ def conv_planar(xp, kernel, bias, *, c_in, c_out, wc_real, act="none",
 
 
 def _rsft_planar_kernel(hc_real, wc_real, wd, cp, x_hbm, h0_ref, f0_ref,
-                        b0_ref, h1_ref, f1_ref, b1_ref, sft_ref, out_ref,
-                        xtile, kbuf, mid, kbuf2, sem):
+                        b0_ref, h1_ref, f1_ref, b1_ref, sft_ref,
+                        planes_ref, out_ref, xtile, kbuf, mid, kbuf2,
+                        sem):
     """Fused planar ResBlock_SFT: SFT0 -> conv -> GELU -> SFT1 -> conv ->
     +x.  x_hbm: (4*Cp, Hp*wd) with two coarse zero halo rows top/bottom.
     Output tile rows [i*th, i*th+th); input region rows i*th-2 .. +th+2;
@@ -314,53 +327,13 @@ def _rsft_planar_kernel(hc_real, wc_real, wd, cp, x_hbm, h0_ref, f0_ref,
 
     cp_dma(i, slot).wait()
 
-    s0 = sft_ref[0] + 1.0
-    h0v = sft_ref[1]
-    s1 = sft_ref[2] + 1.0
-    h1v = sft_ref[3]
+    def out_write(py, val):
+        out_ref[pl.ds(py * 2 * cp, 2 * cp), :] = val.astype(dt)
 
     x32 = xtile[slot].astype(jnp.float32)
-    # in-frame mask over the region: coarse row in [0, hc_real), coarse
-    # col < wc_real (fine rows/cols pair 1:1 with coarse here).  Built at
-    # (cp, lanes) — a (4*cp, lanes) iota SIGABRTs the Mosaic compiler —
-    # and applied per 2-plane slice.
-    ln = lax.broadcasted_iota(jnp.int32, (2 * cp, lanes), 1)
-    colp2 = ln & (wd - 1)
-    logw = wd.bit_length() - 1
-    rowp2 = (ln >> logw) + (i * th - 2)
-    in_frame = ((rowp2 >= 0) & (rowp2 < hc_real) & (colp2 < wc_real))
-
-    def sft0(r1):
-        sl = lax.slice_in_dim(x32, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
-        sv = lax.slice_in_dim(s0, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
-        hv = lax.slice_in_dim(h0v, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
-        return jnp.where(in_frame, sl * sv + hv, 0.0)
-
-    colp = lax.slice_in_dim(colp2, 0, cp, axis=0)
-    _build_kbuf(kbuf, sft0, colp, wc_real, cp, dt)
-    a0, a1 = _planar_dots(kbuf, h0_ref, f0_ref, cp, cp, wd, nmid)
-    m0 = _gelu(a0 + b0_ref[pl.ds(0, 2 * cp)]) * \
-        lax.slice_in_dim(s1, 0, 2 * cp, axis=0) + \
-        lax.slice_in_dim(h1v, 0, 2 * cp, axis=0)
-    m1 = _gelu(a1 + b0_ref[pl.ds(2 * cp, 2 * cp)]) * \
-        lax.slice_in_dim(s1, 2 * cp, 4 * cp, axis=0) + \
-        lax.slice_in_dim(h1v, 2 * cp, 4 * cp, axis=0)
-    # conv1 must see zero outside the frame (bias/shift pollute pad rows)
-    okm = lax.slice_in_dim(in_frame, wd, wd + nmid, axis=1)
-    mid[pl.ds(0, 2 * cp), :] = jnp.where(okm, m0, 0.0).astype(dt)
-    mid[pl.ds(2 * cp, 2 * cp), :] = jnp.where(okm, m1, 0.0).astype(dt)
-
-    m32 = mid[...].astype(jnp.float32)
-    colm = _col_plane(cp, nmid, wd)
-    _build_kbuf(kbuf2, m32, colm, wc_real, cp, dt)
-    r0, r1 = _planar_dots(kbuf2, h1_ref, f1_ref, cp, cp, wd, nout)
-    resid = lax.slice_in_dim(x32, 2 * wd, 2 * wd + nout, axis=1)
-    out_ref[pl.ds(0, 2 * cp), :] = (
-        r0 + b1_ref[pl.ds(0, 2 * cp)]
-        + lax.slice_in_dim(resid, 0, 2 * cp, axis=0)).astype(dt)
-    out_ref[pl.ds(2 * cp, 2 * cp), :] = (
-        r1 + b1_ref[pl.ds(2 * cp, 2 * cp)]
-        + lax.slice_in_dim(resid, 2 * cp, 4 * cp, axis=0)).astype(dt)
+    _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, dt, x32,
+                planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
+                f1_ref, b1_ref, kbuf, mid, kbuf2, out_write)
 
 
 @functools.partial(jax.jit, static_argnames=("c", "hc_real", "wc_real",
@@ -387,12 +360,13 @@ def rsft_planar(xp, w0, b0, w1, b1, scale0, shift0, scale1, shift1, *,
     bp1 = _planar_bias(b1, cp)
     sft = jnp.stack([_planar_vec(v, cp) for v in
                      (scale0, shift0, scale1, shift1)])
+    planes = _region_planes(2 * cp, th + 4, wd)
     fn = functools.partial(_rsft_planar_kernel, hc_real, wc_real, wd, cp)
     out = pl.pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=pl.BlockSpec((4 * cp, th * wd), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4 * cp, hc * wd), xp.dtype),
@@ -406,7 +380,7 @@ def rsft_planar(xp, w0, b0, w1, b1, scale0, shift0, scale1, shift1, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(xf, h0m, f0m, bp0, h1m, f1m, bp1, sft)
+    )(xf, h0m, f0m, bp0, h1m, f1m, bp1, sft, planes)
     return out.reshape(4 * cp, hc, wd)
 
 
@@ -476,14 +450,15 @@ def sft_planar_vectors(scale0, shift0, scale1, shift1, cp):
                       (scale0, shift0, scale1, shift1)])
 
 
-def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, src_ref, src_off,
+def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
                 sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref, b1_ref,
                 kb1, mid, kb2, out_write):
     """The fused TAT block on a VMEM-resident planar region.
 
-    src_ref: (4*Cp, >= src_off + (th+4)*wd) region whose lane src_off
-    corresponds to coarse row `row0` - 2 (row0 = abs row of output row
-    0).  out_write(py, block) stores the (2*Cp, th*wd) result rows."""
+    x32: f32 (4*Cp, (th+4)*wd) region value whose lane 0 corresponds to
+    coarse row `row0` - 2 (row0 = abs row of output row 0).  planes_ref:
+    (2, 2*Cp, >= (th+4)*wd) resident [region-row, col] planes.
+    out_write(py, block) stores the (2*Cp, th*wd) result rows."""
     lanes = (th + 4) * wd
     nmid = (th + 2) * wd
     nout = th * wd
@@ -492,15 +467,12 @@ def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, src_ref, src_off,
     s1 = sft_ref[2] + 1.0
     h1v = sft_ref[3]
 
-    ln = lax.broadcasted_iota(jnp.int32, (2 * cp, lanes), 1)
-    colp2 = ln & (wd - 1)
-    logw = wd.bit_length() - 1
-    rowp2 = (ln >> logw) + (row0 - 2)
+    rowp2 = planes_ref[0, :, pl.ds(0, lanes)] + (row0 - 2)
+    colp2 = planes_ref[1, :, pl.ds(0, lanes)]
     in_frame = ((rowp2 >= 0) & (rowp2 < hc_real) & (colp2 < wc_real))
 
     def sft0(r1):
-        sl = src_ref[pl.ds(r1 * 2 * cp, 2 * cp), pl.ds(src_off, lanes)]
-        sl = sl.astype(jnp.float32)
+        sl = lax.slice_in_dim(x32, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
         sv = lax.slice_in_dim(s0, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
         hv = lax.slice_in_dim(h0v, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
         return jnp.where(in_frame, sl * sv + hv, 0.0)
@@ -519,19 +491,21 @@ def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, src_ref, src_off,
     mid[pl.ds(2 * cp, 2 * cp), :] = jnp.where(okm, m1, 0.0).astype(dt)
 
     m32 = mid[...].astype(jnp.float32)
-    colm = _col_plane(cp, nmid, wd)
+    colm = lax.slice_in_dim(
+        lax.slice_in_dim(colp2, 0, cp, axis=0), 0, nmid, axis=1)
     _build_kbuf(kb2, m32, colm, wc_real, cp, dt)
     r0, r1 = _planar_dots(kb2, h1_ref, f1_ref, cp, cp, wd, nout)
     for py, r in ((0, r0), (1, r1)):
-        resid = src_ref[pl.ds(py * 2 * cp, 2 * cp),
-                        pl.ds(src_off + 2 * wd, nout)].astype(jnp.float32)
+        resid = lax.slice_in_dim(
+            lax.slice_in_dim(x32, py * 2 * cp, (py + 1) * 2 * cp, axis=0),
+            2 * wd, 2 * wd + nout, axis=1)
         out_write(py, (r + b1_ref[pl.ds(py * 2 * cp, 2 * cp)] + resid))
 
 
 def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, x_hbm, wup_ref,
                         bup_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref,
-                        b1_ref, sft_ref, out_ref, xtile, shbuf, abuf, kb1,
-                        mid, kb2, sem):
+                        b1_ref, sft_ref, planes_ref, out_ref, xtile, shbuf,
+                        kb1, mid, kb2, sem):
     """Stage kernel A: stride-2 upconv -> sin -> TAT block, all fused.
     x_hbm: (Cpi, Hp*wd) interleaved input with THREE zero halo rows."""
     nout = out_ref.shape[1]
@@ -564,12 +538,12 @@ def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, x_hbm, wup_ref,
     for dy in range(3):
         acc = acc + lax.dot(wup_ref[dy], shbuf[:, pl.ds(dy * wd, n_a)],
                             preferred_element_type=jnp.float32)
-    abuf[...] = _sin_poly(acc + bup_ref[...]).astype(dt)
+    a32 = _sin_poly(acc + bup_ref[...])
 
     def out_write(py, val):
         out_ref[pl.ds(py * 2 * cp, 2 * cp), :] = val.astype(dt)
 
-    _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, dt, abuf, 0,
+    _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, dt, a32, planes_ref,
                 sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref, b1_ref,
                 kb1, mid, kb2, out_write)
 
@@ -590,18 +564,18 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH,
     xf = xf.reshape(cpi, hp * wd)
     fn = functools.partial(_upconv_rsft_kernel, hc, wc_real, wd, cpi, cp,
                            th)
+    planes = _region_planes(2 * cp, th + 4, wd)
     out = pl.pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=pl.BlockSpec((4 * cp, th * wd), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4 * cp, hc * wd), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, cpi, (th + 6) * wd), x.dtype),
             pltpu.VMEM((3 * cpi, (th + 6) * wd), x.dtype),
-            pltpu.VMEM((4 * cp, (th + 4) * wd), x.dtype),
             pltpu.VMEM((8 * cp, (th + 4) * wd), x.dtype),
             pltpu.VMEM((4 * cp, (th + 2) * wd), x.dtype),
             pltpu.VMEM((8 * cp, (th + 2) * wd), x.dtype),
@@ -611,14 +585,15 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH,
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(xf, prep["wup"], prep["bup"], prep["h0"], prep["f0"], prep["b0"],
-      prep["h1"], prep["f1"], prep["b1"], sft)
+      prep["h1"], prep["f1"], prep["b1"], sft, planes)
     return out.reshape(4 * cp, hc, wd)
 
 
 def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, x_hbm, hc_ref,
                       fc_ref, bc_ref, h0_ref, f0_ref, b0_ref, h1_ref,
                       f1_ref, b1_ref, hh_ref, fh_ref, bh_ref, sft_ref,
-                      out_ref, xtile, cbuf, kb1, mid, kb2, rbuf, sem):
+                      planes_ref, out_ref, xtile, cbuf, kb1, mid, kb2,
+                      rbuf, sem):
     """Stage kernel B: planar conv -> sin -> TAT block [-> head+OutImg].
     x_hbm: planar with `halo` zero coarse rows (4 with head, 3 without)."""
     dt = out_ref.dtype
@@ -655,31 +630,30 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, x_hbm, hc_ref,
     cbuf[pl.ds(2 * cp, 2 * cp), :] = _sin_poly(
         c1 + bc_ref[pl.ds(2 * cp, 2 * cp)]).astype(dt)
 
+    c32 = cbuf[...].astype(jnp.float32)
     if not head:
         def out_write(py, val):
             out_ref[pl.ds(py * 2 * cp, 2 * cp), :] = val.astype(dt)
 
-        _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, dt, cbuf, 0,
-                    sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref,
-                    b1_ref, kb1, mid, kb2, out_write)
+        _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, dt, c32,
+                    planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
+                    f1_ref, b1_ref, kb1, mid, kb2, out_write)
         return
 
     # with head: TAT emits th+2 rows into rbuf (masked), head eats them.
     # rbuf region rows: i*th - 1 + r.
     thr = th + 2
-    lnr = lax.broadcasted_iota(jnp.int32, (2 * cp, n_r), 1)
-    colr = lnr & (wd - 1)
-    logw = wd.bit_length() - 1
-    rowr = (lnr >> logw) + (i * th - 1)
+    rowr = planes_ref[0, :, pl.ds(0, n_r)] + (i * th - 1)
+    colr = planes_ref[1, :, pl.ds(0, n_r)]
     ok_r = (rowr >= 0) & (rowr < hc_real) & (colr < wc_real)
 
     def out_write_r(py, val):
         rbuf[pl.ds(py * 2 * cp, 2 * cp), :] = jnp.where(
-            lax.slice_in_dim(ok_r, 0, n_r, axis=1), val, 0.0).astype(dt)
+            ok_r, val, 0.0).astype(dt)
 
-    _rsft_chain(i * th - 1, thr, wd, cp, hc_real, wc_real, dt, cbuf, 0,
-                sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref, b1_ref,
-                kb1, mid, kb2, out_write_r)
+    _rsft_chain(i * th - 1, thr, wd, cp, hc_real, wc_real, dt, c32,
+                planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
+                f1_ref, b1_ref, kb1, mid, kb2, out_write_r)
 
     r32 = rbuf[...].astype(jnp.float32)
     colh = _col_plane(cp, n_r, wd)
@@ -712,13 +686,14 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
     hh = prep.get("hh", dummy)
     fh = prep.get("fh", dummy)
     bh = prep.get("bh", jnp.zeros((64, 1), jnp.float32))
+    planes = _region_planes(2 * cp, th + 2 * halo - 2, wd)
     fn = functools.partial(_conv_rsft_kernel, hc, wc_real, wd, cp, th,
                            head)
     out = pl.pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
         out_specs=pl.BlockSpec((gout, th * wd), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gout, hc * wd), xp.dtype),
@@ -735,7 +710,8 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(xf, prep["hc"], prep["fc"], prep["bc"], prep["h0"], prep["f0"],
-      prep["b0"], prep["h1"], prep["f1"], prep["b1"], hh, fh, bh, sft)
+      prep["b0"], prep["h1"], prep["f1"], prep["b1"], hh, fh, bh, sft,
+      planes)
     return out.reshape(gout, hc, wd)
 
 

@@ -107,20 +107,24 @@ _VB = {(0, 0): 0, (1, 0): 1, (1, -1): 2, (0, 1): 3}
 
 
 def planar_conv_mats(kernel, cp, cpo):
-    """HWIO (3, 3, C, Co) fine-grid kernel -> per-py (half, full) lhs:
-    half[py]: (2*Cpo, 4*Cp), full[py]: (2*Cpo, 8*Cp), bf16."""
-    _, _, c, co = kernel.shape
+    """HWIO (kh, kw, C, Co) fine-grid kernel (kh/kw in {1, 3}) -> per-py
+    (half, full) lhs: half[py]: (2*Cpo, 4*Cp), full[py]: (2*Cpo, 8*Cp),
+    bf16.  A 1x1 kernel lands entirely in the full (u=0) matrices."""
+    kh, kw, c, co = kernel.shape
+    assert kh in (1, 3) and kw in (1, 3), (kh, kw)
     k = kernel.astype(jnp.float32)
+    kys = (-1, 0, 1) if kh == 3 else (0,)
+    kxs = (-1, 0, 1) if kw == 3 else (0,)
     half = jnp.zeros((2, 2 * cpo, 4 * cp), jnp.float32)
     full = jnp.zeros((2, 2 * cpo, 8 * cp), jnp.float32)
     for py in (0, 1):
-        for ky in (-1, 0, 1):
+        for ky in kys:
             u, r1 = divmod(py + ky, 2)
             for px in (0, 1):
-                for kx in (-1, 0, 1):
+                for kx in kxs:
                     v, r2 = divmod(px + kx, 2)
                     vb = _VB[(r2, v)]
-                    tap = k[ky + 1, kx + 1].T  # (Co, C)
+                    tap = k[ky + kh // 2, kx + kw // 2].T  # (Co, C)
                     if u == 0:
                         full = full.at[
                             py, px * cpo:px * cpo + co,

@@ -442,18 +442,27 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     stride-2 stage and the final 12-channel planar->RGB expansion.
     Motivation + measured dot-pipeline numbers: tools/planar_diag*.py,
     CLAUDE.md round-3 notes.  Matches /root/reference/model_hnerv.py:
-    224-251 decode semantics."""
-    if not (cfg.model == "HNeRV_Boost" and cfg.conv_type[1] == "pshuffel_3x3"
+    224-251 (HNeRV-Boost) and model_nerv.py:45-61 (NeRV-Boost) decode
+    semantics; for NeRV-Boost `embed` is ignored (index-only model, stem
+    MLP included in the timed path per the reference fps convention)."""
+    if not (cfg.model in ("HNeRV_Boost", "NeRV_Boost")
+            and cfg.conv_type[1] == "pshuffel_3x3"
             and cfg.act == "sin" and cfg.sft_block == "res_sft"
             and cfg.norm == "none"):
-        raise ValueError("fast decode supports the HNeRV-Boost paper config "
-                         "(pshuffel_3x3 / sin / res_sft / no norm)")
+        raise ValueError("fast decode supports the HNeRV-Boost/NeRV-Boost "
+                         "paper config (pshuffel_3x3 / sin / res_sft / "
+                         "no norm)")
+    from ..config import model_expansion
     from ..ops.pallas import planar as pk
 
     p = params["params"] if "params" in params else params
     p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, DT), p)
     pe = PEConfig.from_string(cfg.embed, cfg.lfreq)
-    plan = decoder_stage_plan(cfg, cfg.fc_dim, hnerv_style=True)
+    if cfg.model == "HNeRV_Boost":
+        plan = decoder_stage_plan(cfg, cfg.fc_dim, hnerv_style=True)
+    else:
+        plan = decoder_stage_plan(cfg, cfg.fc_dim,
+                                  expansion=model_expansion("NeRV_Boost"))
 
     out_hw = []
     h_cur, w_cur = cfg.fc_h, cfg.fc_w
@@ -511,11 +520,15 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
         pe_t = position_encoding(t, pe).astype(DT)
         t_embed = _mlp_sin(p["stem_t"], pe_t, 2)
 
-        x = embed.astype(DT)
-        stem = p["stem"]
-        x = _conv_nhwc(stem["DownConv_0"]["TConv_0"]["Conv_0"], x, 0)
-        x = jnp.sin(x)
-        x = _rsft_apply_nhwc(stem["ResBlockSFT_0"], x, t_embed)
+        if cfg.model == "HNeRV_Boost":
+            x = embed.astype(DT)
+            stem = p["stem"]
+            x = _conv_nhwc(stem["DownConv_0"]["TConv_0"]["Conv_0"], x, 0)
+            x = jnp.sin(x)
+            x = _rsft_apply_nhwc(stem["ResBlockSFT_0"], x, t_embed)
+        else:  # NeRV_Boost: PE -> stem MLP -> [1, fc_h, fc_w, fc_dim]
+            x = _mlp_sin(p["stem"], pe_t, 2)
+            x = x.reshape(1, cfg.fc_h, cfg.fc_w, cfg.fc_dim)
 
         for bi in range(switch_at):
             spec = plan[bi]

@@ -116,7 +116,9 @@ def planar_conv_mats(kernel, cp, cpo):
     kys = (-1, 0, 1) if kh == 3 else (0,)
     kxs = (-1, 0, 1) if kw == 3 else (0,)
     half = jnp.zeros((2, 2 * cpo, 4 * cp), jnp.float32)
-    full = jnp.zeros((2, 2 * cpo, 8 * cp), jnp.float32)
+    # full is merged across py: rows [py*2*Cpo + px*Cpo + c'] feed ONE
+    # M=4*Cpo dot over the shared u=0 lane window
+    full = jnp.zeros((4 * cpo, 8 * cp), jnp.float32)
     for py in (0, 1):
         for ky in kys:
             u, r1 = divmod(py + ky, 2)
@@ -125,9 +127,10 @@ def planar_conv_mats(kernel, cp, cpo):
                     v, r2 = divmod(px + kx, 2)
                     vb = _VB[(r2, v)]
                     tap = k[ky + kh // 2, kx + kw // 2].T  # (Co, C)
+                    row0 = py * 2 * cpo + px * cpo
                     if u == 0:
                         full = full.at[
-                            py, px * cpo:px * cpo + co,
+                            row0:row0 + co,
                             (r1 * 4 + vb) * cp:(r1 * 4 + vb) * cp + c
                         ].add(tap)
                     else:
@@ -198,20 +201,24 @@ def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
 
 
 def _planar_dots(buf, half_ref, full_ref, cp, cpo, wd, nout):
-    """The four (per-py two) MXU dots; returns f32 (4*Cpo, nout) acc built
-    as two stacked py halves."""
+    """The planar conv dots; returns f32 per-py (2*Cpo, nout) accs.
+
+    Both py's u=0 'full' dots read the SAME lane window, so they merge
+    into one M=4*Cpo dot (measured ~10% faster than two M=2*Cpo dots —
+    tools/planar_diag3.py); the two M=2*Cpo 'half' dots stay separate
+    (different lane offsets and r1 groups)."""
+    af = lax.dot(full_ref[...], buf[:, pl.ds(wd, nout)],
+                 preferred_element_type=jnp.float32)
     accs = []
-    for py, (u_half, u_full) in enumerate(((-1, 0), (1, 0))):
+    for py, u_half in enumerate((-1, 1)):
         r1h = 1 - py
         off_h = (u_half + 1) * wd
-        off_f = (u_full + 1) * wd
         a = lax.dot(
             half_ref[py],
             buf[pl.ds(r1h * 4 * cp, 4 * cp), pl.ds(off_h, nout)],
             preferred_element_type=jnp.float32)
-        a = a + lax.dot(full_ref[py], buf[:, pl.ds(off_f, nout)],
-                        preferred_element_type=jnp.float32)
-        accs.append(a)
+        accs.append(a + lax.slice_in_dim(af, py * 2 * cpo,
+                                         (py + 1) * 2 * cpo, axis=0))
     return accs
 
 

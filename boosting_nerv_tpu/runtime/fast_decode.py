@@ -323,8 +323,16 @@ def build_serving_decode(cfg: BoostConfig, params) -> Callable:
     for the config.  Single source of truth for bench.py and the
     trainer's --eval_fps (reference fps convention,
     /root/reference/train_nerv_all.py:490-496).  Raises ValueError for
-    configs outside the supported HNeRV-Boost paper shape."""
-    return build_fast_decode_v3(cfg, params, tile_from_h=45, mode="dy3")
+    configs outside the supported Boost paper shapes.
+
+    v5 fused-planar when the config has a stride-2 3x3 tail (measured
+    30.6 fps UVG-1080p vs 22.2 for v3, maxerr 2.6e-3 vs flax,
+    tools/v5_probe.py); v3 dy3 otherwise."""
+    try:
+        return build_fast_decode_v5(cfg, params, planar_from_h=200, th=8)
+    except ValueError:
+        return build_fast_decode_v3(cfg, params, tile_from_h=45,
+                                    mode="dy3")
 
 
 def build_fast_decode(cfg: BoostConfig, params,

@@ -200,15 +200,19 @@ def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
         buf[pl.ds(base + 3 * cp, cp), pl.ds(0, lanes)] = vp.astype(dt)
 
 
-def _planar_dots(buf, half_ref, full_ref, cp, cpo, wd, nout):
+def _planar_dots(buf, half_ref, full_ref, cp, cpo, wd, nout, merge=True):
     """The planar conv dots; returns f32 per-py (2*Cpo, nout) accs.
 
     Both py's u=0 'full' dots read the SAME lane window, so they merge
     into one M=4*Cpo dot (measured ~10% faster than two M=2*Cpo dots —
     tools/planar_diag3.py); the two M=2*Cpo 'half' dots stay separate
-    (different lane offsets and r1 groups)."""
-    af = lax.dot(full_ref[...], buf[:, pl.ds(wd, nout)],
-                 preferred_element_type=jnp.float32)
+    (different lane offsets and r1 groups).  merge=False keeps the two
+    per-py M=2*Cpo full dots — the merged (4*Cpo, nout) f32 temp costs
+    ~15 MB at the 540-row head-kernel shapes and tips scoped VMEM over
+    the 112 MB limit there."""
+    if merge:
+        af = lax.dot(full_ref[...], buf[:, pl.ds(wd, nout)],
+                     preferred_element_type=jnp.float32)
     accs = []
     for py, u_half in enumerate((-1, 1)):
         r1h = 1 - py
@@ -217,8 +221,14 @@ def _planar_dots(buf, half_ref, full_ref, cp, cpo, wd, nout):
             half_ref[py],
             buf[pl.ds(r1h * 4 * cp, 4 * cp), pl.ds(off_h, nout)],
             preferred_element_type=jnp.float32)
-        accs.append(a + lax.slice_in_dim(af, py * 2 * cpo,
-                                         (py + 1) * 2 * cpo, axis=0))
+        if merge:
+            a = a + lax.slice_in_dim(af, py * 2 * cpo, (py + 1) * 2 * cpo,
+                                     axis=0)
+        else:
+            a = a + lax.dot(full_ref[pl.ds(py * 2 * cpo, 2 * cpo)],
+                            buf[:, pl.ds(wd, nout)],
+                            preferred_element_type=jnp.float32)
+        accs.append(a)
     return accs
 
 
@@ -463,7 +473,7 @@ def sft_planar_vectors(scale0, shift0, scale1, shift1, cp):
 
 def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
                 sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref, b1_ref,
-                kb1, mid, kb2, out_write):
+                kb1, mid, kb2, out_write, merge=True):
     """The fused TAT block on a VMEM-resident planar region.
 
     x32: f32 (4*Cp, (th+4)*wd) region value whose lane 0 corresponds to
@@ -490,7 +500,8 @@ def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
 
     colp = lax.slice_in_dim(colp2, 0, cp, axis=0)
     _build_kbuf(kb1, sft0, colp, wc_real, cp, dt)
-    a0, a1 = _planar_dots(kb1, h0_ref, f0_ref, cp, cp, wd, nmid)
+    a0, a1 = _planar_dots(kb1, h0_ref, f0_ref, cp, cp, wd, nmid,
+                          merge=merge)
     m0 = _gelu(a0 + b0_ref[pl.ds(0, 2 * cp)]) * \
         lax.slice_in_dim(s1, 0, 2 * cp, axis=0) + \
         lax.slice_in_dim(h1v, 0, 2 * cp, axis=0)
@@ -505,7 +516,8 @@ def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
     colm = lax.slice_in_dim(
         lax.slice_in_dim(colp2, 0, cp, axis=0), 0, nmid, axis=1)
     _build_kbuf(kb2, m32, colm, wc_real, cp, dt)
-    r0, r1 = _planar_dots(kb2, h1_ref, f1_ref, cp, cp, wd, nout)
+    r0, r1 = _planar_dots(kb2, h1_ref, f1_ref, cp, cp, wd, nout,
+                          merge=merge)
     for py, r in ((0, r0), (1, r1)):
         resid = lax.slice_in_dim(
             lax.slice_in_dim(x32, py * 2 * cp, (py + 1) * 2 * cp, axis=0),
@@ -635,7 +647,8 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, x_hbm, hc_ref,
     x32 = xtile[slot].astype(jnp.float32)
     colp = _col_plane(cp, lanes_in, wd)
     _build_kbuf(kb1, x32, colp, wc_real, cp, dt)
-    c0, c1 = _planar_dots(kb1, hc_ref, fc_ref, cp, cp, wd, n_c)
+    c0, c1 = _planar_dots(kb1, hc_ref, fc_ref, cp, cp, wd, n_c,
+                          merge=not head)
     cbuf[pl.ds(0, 2 * cp), :] = _sin_poly(
         c0 + bc_ref[pl.ds(0, 2 * cp)]).astype(dt)
     cbuf[pl.ds(2 * cp, 2 * cp), :] = _sin_poly(
@@ -664,12 +677,13 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, x_hbm, hc_ref,
 
     _rsft_chain(i * th - 1, thr, wd, cp, hc_real, wc_real, dt, c32,
                 planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
-                f1_ref, b1_ref, kb1, mid, kb2, out_write_r)
+                f1_ref, b1_ref, kb1, mid, kb2, out_write_r, merge=False)
 
     r32 = rbuf[...].astype(jnp.float32)
     colh = _col_plane(cp, n_r, wd)
     _build_kbuf(kb1, r32, colh, wc_real, cp, dt)
-    h0o, h1o = _planar_dots(kb1, hh_ref, fh_ref, cp, 16, wd, th * wd)
+    h0o, h1o = _planar_dots(kb1, hh_ref, fh_ref, cp, 16, wd, th * wd,
+                            merge=False)
     out_ref[pl.ds(0, 32), :] = _outimg(
         h0o + bh_ref[pl.ds(0, 32)]).astype(dt)
     out_ref[pl.ds(32, 32), :] = _outimg(

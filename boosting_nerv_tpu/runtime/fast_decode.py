@@ -437,7 +437,8 @@ def build_fast_decode(cfg: BoostConfig, params,
 
 
 def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
-                         th: int = 8, interpret: bool = False) -> Callable:
+                         th: int | dict = 8,
+                         interpret: bool = False) -> Callable:
     """v5: fused-stage subpixel-planar tail (ops/pallas/planar).
 
     Every stride-2 NeRVBlock from the first whose FINE output height
@@ -493,6 +494,14 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     if switch_at == len(plan):
         raise ValueError("no planar-eligible tail for this config")
     head_fused = plan[-1].strd == 1
+
+    # per-stage tile height: int applies everywhere; a dict maps the
+    # stage's COARSE height -> th (missing keys fall back to 8).  The
+    # measured-best UVG-1080p policy (tools/v5_iso_probe.py) is
+    # {270: 16} — th=16 helps only the 270-zone kernels (135 slightly
+    # worse, 540 exceeds scoped VMEM).
+    th_of = ((lambda hc: th) if isinstance(th, int)
+             else (lambda hc: th.get(hc, 8)))
 
     def _pow2(v):
         w = 128
@@ -574,12 +583,13 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                     chw = jnp.pad(fine, ((0, 0), (0, 0), (0, wd - wc)))
                 planar = pk.fused_upconv_rsft(
                     chw, preps[off], sft, c_in=spec.ngf, c=c, wc_real=wc,
-                    th=th, interpret=interpret)
+                    th=th_of(out_hw[bi][0] // 2), interpret=interpret)
             else:
                 is_last_head = head_fused and bi == len(plan) - 1
                 planar = pk.fused_conv_rsft(
                     planar, preps[off], sft, c=c, wc_real=wc,
-                    head=is_last_head, th=th, interpret=interpret)
+                    head=is_last_head, th=th_of(out_hw[bi][0] // 2),
+                    interpret=interpret)
 
         if head_fused:
             return pk.rgb_planar_to_nhwc(planar, hc, wc).astype(DT)

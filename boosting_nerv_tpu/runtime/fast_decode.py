@@ -451,15 +451,19 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     stride-2 stage and the final 12-channel planar->RGB expansion.
     Motivation + measured dot-pipeline numbers: tools/planar_diag*.py,
     CLAUDE.md round-3 notes.  Matches /root/reference/model_hnerv.py:
-    224-251 (HNeRV-Boost) and model_nerv.py:45-61 (NeRV-Boost) decode
-    semantics; for NeRV-Boost `embed` is ignored (index-only model, stem
-    MLP included in the timed path per the reference fps convention)."""
-    if not (cfg.model in ("HNeRV_Boost", "NeRV_Boost")
+    224-251 (HNeRV-Boost), model_nerv.py:45-61 (NeRV-Boost) and
+    model_enerv.py:279-317 (E-NeRV-Boost) decode semantics; for the
+    index-only models `embed` is ignored and the stem (MLP / transformer
+    trunk) is included in the timed path per the reference fps
+    convention.  The E-NeRV trunk and its stage-0 ConvUpBlock run as
+    plain flax/XLA (144-token attention — negligible next to the conv
+    tail); only the stride-2 3x3 NeRVBlock tail goes planar."""
+    if not (cfg.model in ("HNeRV_Boost", "NeRV_Boost", "ENeRV_Boost")
             and cfg.conv_type[1] == "pshuffel_3x3"
             and cfg.act == "sin" and cfg.sft_block == "res_sft"
-            and cfg.norm == "none"):
-        raise ValueError("fast decode supports the HNeRV-Boost/NeRV-Boost "
-                         "paper config (pshuffel_3x3 / sin / res_sft / "
+            and cfg.norm == "none" and cfg.ch_t):
+        raise ValueError("fast decode supports the *NeRV-Boost "
+                         "paper configs (pshuffel_3x3 / sin / res_sft / "
                          "no norm)")
     from ..config import model_expansion
     from ..ops.pallas import planar as pk
@@ -471,7 +475,7 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
         plan = decoder_stage_plan(cfg, cfg.fc_dim, hnerv_style=True)
     else:
         plan = decoder_stage_plan(cfg, cfg.fc_dim,
-                                  expansion=model_expansion("NeRV_Boost"))
+                                  expansion=model_expansion(cfg.model))
 
     out_hw = []
     h_cur, w_cur = cfg.fc_h, cfg.fc_w
@@ -482,7 +486,10 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     # switch: first stride-2 3x3 stage whose fine output height clears the
     # threshold AND from which the rest of the plan is planar-eligible
     switch_at = len(plan)
-    for start in range(len(plan)):
+    # ENeRV stage 0 is a ConvUpBlock (factorised conv-then-up, different
+    # param tree) — it always stays in the flax prefix.
+    first = 1 if cfg.model == "ENeRV_Boost" else 0
+    for start in range(first, len(plan)):
         if plan[start].strd != 2 or min(plan[start].ks, 3) != 3:
             continue
         if out_hw[start][0] < planar_from_h:
@@ -533,30 +540,51 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                 head_b=head["bias"] if head else None)
         preps.append(prep)
 
+    # E-NeRV-Boost prefix: transformer trunk + t_branch + pre-switch
+    # blocks (incl. the stage-0 ConvUpBlock) via plain flax — all coarse
+    # and tiny relative to the planar tail.  The tail's SFT cond vector
+    # is t_manip (model_enerv.py:313: blocks consume the t_branch
+    # output, not stem_t).
+    if cfg.model == "ENeRV_Boost":
+        from ..models import build_model
+        _enerv = build_model(cfg)
+
+        def _enerv_prefix(t):
+            def run(m, tt):
+                x, pe_t = m.trunk(tt)
+                t_manip = m.t_branch(pe_t)
+                for blk in m.blocks[:switch_at]:
+                    x = blk(x, t_manip)
+                return x, t_manip
+            return _enerv.apply({"params": p}, t, method=run)
+
     def decode(embed, t):
-        pe_t = position_encoding(t, pe).astype(DT)
-        t_embed = _mlp_sin(p["stem_t"], pe_t, 2)
+        if cfg.model == "ENeRV_Boost":
+            x, t_embed = _enerv_prefix(t)
+        else:
+            pe_t = position_encoding(t, pe).astype(DT)
+            t_embed = _mlp_sin(p["stem_t"], pe_t, 2)
 
-        if cfg.model == "HNeRV_Boost":
-            x = embed.astype(DT)
-            stem = p["stem"]
-            x = _conv_nhwc(stem["DownConv_0"]["TConv_0"]["Conv_0"], x, 0)
-            x = jnp.sin(x)
-            x = _rsft_apply_nhwc(stem["ResBlockSFT_0"], x, t_embed)
-        else:  # NeRV_Boost: PE -> stem MLP -> [1, fc_h, fc_w, fc_dim]
-            x = _mlp_sin(p["stem"], pe_t, 2)
-            x = x.reshape(1, cfg.fc_h, cfg.fc_w, cfg.fc_dim)
+            if cfg.model == "HNeRV_Boost":
+                x = embed.astype(DT)
+                stem = p["stem"]
+                x = _conv_nhwc(stem["DownConv_0"]["TConv_0"]["Conv_0"], x, 0)
+                x = jnp.sin(x)
+                x = _rsft_apply_nhwc(stem["ResBlockSFT_0"], x, t_embed)
+            else:  # NeRV_Boost: PE -> stem MLP -> [1, fc_h, fc_w, fc_dim]
+                x = _mlp_sin(p["stem"], pe_t, 2)
+                x = x.reshape(1, cfg.fc_h, cfg.fc_w, cfg.fc_dim)
 
-        for bi in range(switch_at):
-            spec = plan[bi]
-            blk = p[f"blocks_{bi}"]
-            conv = blk["UpConv_0"]["TConv_0"]["Conv_0"]
-            ks = min(spec.ks, 3)
-            x = _conv_nhwc(conv, x, (ks - 1) // 2)
-            if spec.strd > 1:
-                x = _d2s_nhwc(x, spec.strd)
-            x = jnp.sin(x)
-            x = _rsft_apply_nhwc(blk["ResBlockSFT_0"], x, t_embed)
+            for bi in range(switch_at):
+                spec = plan[bi]
+                blk = p[f"blocks_{bi}"]
+                conv = blk["UpConv_0"]["TConv_0"]["Conv_0"]
+                ks = min(spec.ks, 3)
+                x = _conv_nhwc(conv, x, (ks - 1) // 2)
+                if spec.strd > 1:
+                    x = _d2s_nhwc(x, spec.strd)
+                x = jnp.sin(x)
+                x = _rsft_apply_nhwc(blk["ResBlockSFT_0"], x, t_embed)
 
         # interleaved (C, Hc, Wd) input of the first planar stage
         chw = x[0].transpose(2, 0, 1)

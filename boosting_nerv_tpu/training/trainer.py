@@ -499,14 +499,19 @@ class RegressionTrainer:
         (ineligible config, sharded decode, or a non-TPU backend where
         Mosaic kernels cannot compile)."""
         cfg = self.cfg
-        if (self.encode_step is None or self.mesh.sp > 1
-                or self.mesh.dp > 1 or cfg.model != "HNeRV_Boost"):
+        index_only = cfg.model in ("NeRV_Boost", "ENeRV_Boost")
+        if (self.mesh.sp > 1 or self.mesh.dp > 1
+                or not (index_only or (cfg.model == "HNeRV_Boost"
+                                       and self.encode_step is not None))):
             return None
         try:
             from ..runtime.fast_decode import build_serving_decode
             decode = build_serving_decode(cfg, params)
-            batch = self.video.get_batch([0])
-            embed = self.encode_step(params, jnp.asarray(batch["img"]))
+            if index_only:
+                embed = None
+            else:
+                batch = self.video.get_batch([0])
+                embed = self.encode_step(params, jnp.asarray(batch["img"]))
 
             @jax.jit
             def decode_n(embed, ts):

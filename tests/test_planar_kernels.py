@@ -239,3 +239,30 @@ class TestFastDecodeV5NeRVBoost:
         assert out.shape == ref.shape, (out.shape, ref.shape)
         err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
         assert err < 0.02, err
+
+
+class TestFastDecodeV5ENeRVBoost:
+    def test_matches_flax_decode(self):
+        from boosting_nerv_tpu.config import BoostConfig
+        from boosting_nerv_tpu.models import build_model
+        from boosting_nerv_tpu.runtime.fast_decode import build_fast_decode_v5
+
+        cfg = BoostConfig(
+            model="ENeRV_Boost", embed="pe_1.25_20", fc_hw="2_4", fc_dim=12,
+            block_dim=16,
+            dec_strds=[2, 2], dec_blks=[1, 2], ks="0_1_5",
+            conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+            sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4)
+        model = build_model(cfg)
+        t = jnp.array([0.4])
+        params = model.init(jax.random.key(0), t)
+        ref = model.apply(params, t)
+
+        # planar_from_h=1 puts every stride-2 3x3 block in the planar
+        # tail; the trunk + stage-0 ConvUpBlock stay flax.
+        dec = build_fast_decode_v5(cfg, params, planar_from_h=1, th=4,
+                                   interpret=True)
+        out = dec(None, t)
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+        assert err < 0.02, err

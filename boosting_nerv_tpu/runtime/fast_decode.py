@@ -437,7 +437,8 @@ def build_fast_decode(cfg: BoostConfig, params,
 
 
 def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
-                         th: int | dict = 8,
+                         th: int | dict = 8, fine_from_h: int = 10 ** 9,
+                         head_th: int = 24,
                          interpret: bool = False) -> Callable:
     """v5: fused-stage subpixel-planar tail (ops/pallas/planar).
 
@@ -457,7 +458,15 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     trunk) is included in the timed path per the reference fps
     convention.  The E-NeRV trunk and its stage-0 ConvUpBlock run as
     plain flax/XLA (144-token attention — negligible next to the conv
-    tail); only the stride-2 3x3 NeRVBlock tail goes planar."""
+    tail); only the stride-2 3x3 NeRVBlock tail goes planar.
+
+    `fine_from_h` (hybrid mode): stages whose FINE output height reaches
+    it leave the planar layout and run the v3 fine-grid kernels
+    (tile_conv: dy3 conv+sin, fused TAT, head+OutImg) with an XLA d2s
+    relayout — at the 1080 zone the fine-grid formulation carries 1x the
+    conv FLOPs where planar carries ~1.8x, and the v3 iso timings (3.0 +
+    7.7 + 3.8 ms) undercut the planar pair (9.4 + 13.5 ms); the planar
+    zones keep their zero-interlude pipeline."""
     if not (cfg.model in ("HNeRV_Boost", "NeRV_Boost", "ENeRV_Boost")
             and cfg.conv_type[1] == "pshuffel_3x3"
             and cfg.act == "sin" and cfg.sft_block == "res_sft"
@@ -500,7 +509,12 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
             break
     if switch_at == len(plan):
         raise ValueError("no planar-eligible tail for this config")
-    head_fused = plan[-1].strd == 1
+    fine_at = len(plan)
+    for bi in range(switch_at, len(plan)):
+        if out_hw[bi][0] >= fine_from_h:
+            fine_at = bi
+            break
+    head_fused = fine_at == len(plan) and plan[-1].strd == 1
 
     # per-stage tile height: int applies everywhere; a dict maps the
     # stage's COARSE height -> th (missing keys fall back to 8).  The
@@ -518,7 +532,7 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
 
     # ---- build-time weight preparation --------------------------------- #
     preps = []
-    for bi in range(switch_at, len(plan)):
+    for bi in range(switch_at, fine_at):
         blk = p[f"blocks_{bi}"]
         conv = blk["UpConv_0"]["TConv_0"]["Conv_0"]
         rsft = blk["ResBlockSFT_0"]
@@ -593,7 +607,7 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
         chw = jnp.pad(chw, ((0, 0), (0, 0), (0, wd - wc)))
 
         planar = None
-        for off, bi in enumerate(range(switch_at, len(plan))):
+        for off, bi in enumerate(range(switch_at, fine_at)):
             spec = plan[bi]
             rsft = p[f"blocks_{bi}"]["ResBlockSFT_0"]
             c = spec.new_ngf
@@ -618,6 +632,53 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                     planar, preps[off], sft, c=c, wc_real=wc,
                     head=is_last_head, th=th_of(out_hw[bi][0] // 2),
                     interpret=interpret)
+
+        if fine_at < len(plan):
+            # hybrid fine-grid tail (v3 dy3 kernels + XLA d2s)
+            from ..ops.pallas.tile_conv import (conv_tile_v3,
+                                                resblock_sft_tile_v3)
+            if planar is not None:
+                chwf = pk.from_planar(
+                    planar, plan[fine_at - 1].new_ngf)[:, :, :2 * wc]
+            else:
+                chwf = x[0].transpose(2, 0, 1)
+            wreal = chwf.shape[2]
+            wdn = -(-wreal // 128) * 128
+            if wdn != chwf.shape[2]:
+                chwf = jnp.pad(chwf,
+                               ((0, 0), (0, 0), (0, wdn - chwf.shape[2])))
+            for bi in range(fine_at, len(plan)):
+                spec = plan[bi]
+                blk = p[f"blocks_{bi}"]
+                conv = blk["UpConv_0"]["TConv_0"]["Conv_0"]
+                rsft = blk["ResBlockSFT_0"]
+                ks = min(spec.ks, 3)
+                (s0v, h0v), (s1v, h1v) = _sft_vectors(rsft, t_embed)
+                f32 = lambda v: v[0].astype(jnp.float32)
+                chwf = conv_tile_v3(chwf, conv["kernel"], conv["bias"],
+                                    k=ks, w_real=wreal, act="sin",
+                                    mode="dy3", interpret=interpret)
+                if spec.strd > 1:
+                    chwf = _d2s_chw(chwf, spec.strd)
+                    wreal = wreal * spec.strd
+                    wdn = -(-wreal // 128) * 128
+                    if wdn != chwf.shape[2]:
+                        chwf = chwf[:, :, :wdn]
+                chwf = resblock_sft_tile_v3(
+                    chwf, rsft["TConv_0"]["Conv_0"]["kernel"],
+                    rsft["TConv_0"]["Conv_0"]["bias"],
+                    rsft["TConv_1"]["Conv_0"]["kernel"],
+                    rsft["TConv_1"]["Conv_0"]["bias"],
+                    f32(s0v), f32(h0v), f32(s1v), f32(h1v),
+                    w_real=wreal, mode="dy3", interpret=interpret)
+            head = p["head"]["Conv_0"]
+            out = conv_tile_v3(
+                chwf, head["kernel"], head["bias"], k=3, w_real=wreal,
+                act="outimg", mode="dy3",
+                th=head_th if chwf.shape[1] % head_th == 0 else 8,
+                interpret=interpret)
+            out = out[:, :, :wreal]
+            return out.transpose(1, 2, 0)[None].astype(DT)
 
         if head_fused:
             return pk.rgb_planar_to_nhwc(planar, hc, wc).astype(DT)

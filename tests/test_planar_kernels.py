@@ -266,3 +266,33 @@ class TestFastDecodeV5ENeRVBoost:
         assert out.shape == ref.shape, (out.shape, ref.shape)
         err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
         assert err < 0.02, err
+
+
+class TestFastDecodeV5Hybrid:
+    def test_fine_tail_matches_flax(self):
+        """fine_from_h switches the top zone to the v3 fine-grid kernels;
+        output must still match the flax decode."""
+        from boosting_nerv_tpu.config import BoostConfig
+        from boosting_nerv_tpu.models import build_model
+        from boosting_nerv_tpu.runtime.fast_decode import build_fast_decode_v5
+
+        cfg = BoostConfig(
+            model="HNeRV_Boost", embed="pe_1.25_20", fc_dim=12,
+            dec_strds=[2, 2], dec_blks=[1, 2], ks="0_1_5",
+            conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+            sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4,
+            enc_strds=[2, 2], enc_dim="8_4")
+        model = build_model(cfg)
+        img = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)).astype(np.float32))
+        t = jnp.array([0.4])
+        params = model.init(jax.random.key(0), img, t)
+        embed = model.apply(params, img, method="encode")
+        ref = model.apply(params, embed, t, method="decode")
+
+        # stage fine heights are 8, 16, 16: planar stage 0, v3 stages 1-2
+        dec = build_fast_decode_v5(cfg, params, planar_from_h=1, th=4,
+                                   fine_from_h=16, interpret=True)
+        out = dec(embed, t)
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+        assert err < 0.02, err

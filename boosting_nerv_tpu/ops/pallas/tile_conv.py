@@ -383,6 +383,59 @@ def _conv_kernel_v3(k, h_real, w_real, w, n_in_rows, mode, act, x_hbm,
     out_ref[...] = _ACTS[act](acc + b_ref[:, :1]).astype(dt)
 
 
+def _conv_kernel_v3x2(k, h_real, w_real, w, th, act, x_hbm, colp_ref,
+                      w_ref, b_ref, out_ref, xtile, shA, shB, sem):
+    """Dual-stream dy3 conv (see _rsft_kernel_v3x2): two independent
+    th-row sub-tile chains per program, one shared (2*th + 2*halo)-row
+    DMA region."""
+    cpad = xtile.shape[1]
+    copad = w_ref.shape[1]
+    t2 = 2 * th
+    halo = (k - 1) // 2
+    nout = th * w
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    lanes = (t2 + 2 * halo) * w
+    sub = (th + 2 * halo) * w
+
+    def cp(step, slot):
+        src = pl.multiple_of(step * t2 * w, t2 * w)
+        return pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes)],
+                                     xtile.at[slot], sem.at[slot])
+
+    slot = lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cp(i, slot).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        cp(i + 1, 1 - slot).start()
+
+    cp(i, slot).wait()
+
+    x32 = xtile[slot].astype(jnp.float32)
+    for j, sh in ((0, shA), (1, shB)):
+        part = lax.slice_in_dim(x32, j * th * w, j * th * w + sub, axis=1)
+        if k == 3:
+            _preshift_into(sh, part, colp_ref[...], w_real, dt, cpad)
+        else:
+            sh[pl.ds(0, cpad), :] = part.astype(dt)
+
+    accA = jnp.zeros((copad, nout), jnp.float32)
+    accB = jnp.zeros((copad, nout), jnp.float32)
+    for dy in range(k):
+        accA = accA + lax.dot(w_ref[dy], shA[:, pl.ds(dy * w, nout)],
+                              preferred_element_type=jnp.float32)
+        accB = accB + lax.dot(w_ref[dy], shB[:, pl.ds(dy * w, nout)],
+                              preferred_element_type=jnp.float32)
+    out_ref[:, pl.ds(0, nout)] = _ACTS[act](
+        accA + b_ref[:, :1]).astype(dt)
+    out_ref[:, pl.ds(nout, nout)] = _ACTS[act](
+        accB + b_ref[:, :1]).astype(dt)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "w_real", "th", "mode", "act",
                                     "interpret"))
@@ -401,13 +454,42 @@ def conv_tile_v3(x, kernel, bias, *, k, w_real=None, th=TH, mode="stack",
     cpad = _round_up(c, 16)
     copad = _round_up(kernel.shape[3], 16)
     halo = (k - 1) // 2
-    grid = pl.cdiv(h, th)
+    rows_per_prog = 2 * th if mode == "dy3x2" else th
+    grid = pl.cdiv(h, rows_per_prog)
     n_in_rows = th + 2 * halo
-    hp = grid * th + 2 * halo
+    hp = grid * rows_per_prog + 2 * halo
     xf = jnp.pad(x, ((0, cpad - c), (halo, hp - h - halo), (0, 0)))
     xf = xf.reshape(cpad, hp * wd)
     b = jnp.zeros((copad, 1), jnp.float32).at[:kernel.shape[3], 0].set(
         bias.astype(jnp.float32))
+
+    if mode == "dy3x2":
+        wop = _stack_weights_dy(kernel, cpad, copad)
+        sh_shape = ((k if k == 3 else 1) * cpad, n_in_rows * wd)
+        fn = functools.partial(_conv_kernel_v3x2, k, h, w_real, wd, th,
+                               act)
+        out = pl.pallas_call(
+            fn,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((copad, 2 * th * wd), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((copad, h * wd), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, cpad, (2 * th + 2 * halo) * wd), x.dtype),
+                pltpu.VMEM(sh_shape, x.dtype),
+                pltpu.VMEM(sh_shape, x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024),
+            interpret=interpret,
+        )(xf, _index_planes(cpad, n_in_rows, wd)[1], wop, b)
+        return out.reshape(copad, h, wd)[:kernel.shape[3]]
+
     shbuf_shape = (k if k == 3 else 1, cpad, n_in_rows * wd)
     if mode == "stack":
         wop = _stack_weights(kernel, cpad, copad)
@@ -586,6 +668,90 @@ def _rsft_kernel_v3(h_real, w_real, w, mode, th, x_hbm, rc_ref, w0_ref,
     out_ref[...] = (res + b1_ref[:, :1] + resid).astype(dt)
 
 
+def _rsft_kernel_v3x2(h_real, w_real, w, th, x_hbm, rc_ref, w0_ref, b0_ref,
+                      w1_ref, b1_ref, sft_ref, out_ref, xtile, shA, shB, mA,
+                      mB, sem):
+    """Dual-stream dy3 ResBlock_SFT: each program owns TWO independent
+    th-row sub-tiles whose chains are interleaved stage by stage, giving
+    the Mosaic scheduler adjacent independent VPU and MXU work (the
+    single-chain kernel strictly serialises prologue -> dot -> epilogue
+    per tile; measured ~2x off the VPU+MXU sum floor).  Layout/maths are
+    identical to mode='dy3'."""
+    cpad = xtile.shape[1]
+    t2 = 2 * th
+    nmid = (th + 2) * w
+    nout = th * w
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    lanes = (t2 + 4) * w
+
+    def cp(step, slot):
+        src = pl.multiple_of(step * t2 * w, t2 * w)
+        return pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes)],
+                                     xtile.at[slot], sem.at[slot])
+
+    slot = lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cp(i, slot).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        cp(i + 1, 1 - slot).start()
+
+    cp(i, slot).wait()
+
+    s0 = sft_ref[0] + 1.0
+    h0 = sft_ref[1]
+    s1 = sft_ref[2] + 1.0
+    h1 = sft_ref[3]
+
+    x32 = xtile[slot].astype(jnp.float32)
+    rowr = rc_ref[0]                      # (Cpad, lanes) region row plane
+    colr = rc_ref[1]
+    abs_r = rowr + (i * t2 - 2)
+    in_frame = (abs_r >= 0) & (abs_r < h_real) & (colr < w_real)
+    # SFT0 once over the whole (2*th+4)-row region (the halo overlap of
+    # the two streams is computed once)
+    a32 = jnp.where(in_frame, x32 * s0 + h0, 0.0)
+
+    def sl(v, j, n, base):
+        return lax.slice_in_dim(v, j * th * w + base, j * th * w + base + n,
+                                axis=1)
+
+    _preshift_into(shA, sl(a32, 0, (th + 4) * w, 0),
+                   sl(colr, 0, (th + 4) * w, 0), w_real, dt, cpad)
+    _preshift_into(shB, sl(a32, 1, (th + 4) * w, 0),
+                   sl(colr, 1, (th + 4) * w, 0), w_real, dt, cpad)
+
+    def convdy(buf, wref, n):
+        acc = jnp.zeros((cpad, n), jnp.float32)
+        for dy in range(3):
+            acc = acc + lax.dot(wref[dy], buf[:, pl.ds(dy * w, n)],
+                                preferred_element_type=jnp.float32)
+        return acc
+
+    midA = convdy(shA, w0_ref, nmid)
+    midB = convdy(shB, w0_ref, nmid)
+
+    gA = _gelu(midA + b0_ref[:, :1]) * s1 + h1
+    gB = _gelu(midB + b0_ref[:, :1]) * s1 + h1
+    okA = sl(in_frame, 0, nmid, w)
+    okB = sl(in_frame, 1, nmid, w)
+    colm = lax.slice_in_dim(colr, 0, nmid, axis=1)
+    _preshift_into(mA, jnp.where(okA, gA, 0.0), colm, w_real, dt, cpad)
+    _preshift_into(mB, jnp.where(okB, gB, 0.0), colm, w_real, dt, cpad)
+
+    resA = convdy(mA, w1_ref, nout)
+    resB = convdy(mB, w1_ref, nout)
+
+    out_ref[:, pl.ds(0, nout)] = (
+        resA + b1_ref[:, :1] + sl(x32, 0, nout, 2 * w)).astype(dt)
+    out_ref[:, pl.ds(nout, nout)] = (
+        resB + b1_ref[:, :1] + sl(x32, 1, nout, 2 * w)).astype(dt)
+
+
 @functools.partial(jax.jit, static_argnames=("w_real", "th", "mode",
                                               "interpret"))
 def resblock_sft_tile_v3(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
@@ -600,15 +766,16 @@ def resblock_sft_tile_v3(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
     assert wd % 128 == 0, wd
     w_real = wd if w_real is None else w_real
     cpad = _round_up(c, 16)
-    grid = pl.cdiv(h, th)
-    hp = grid * th + 4
+    rows_per_prog = 2 * th if mode == "dy3x2" else th
+    grid = pl.cdiv(h, rows_per_prog)
+    hp = grid * rows_per_prog + 4
     xf = jnp.pad(x, ((0, cpad - c), (2, hp - h - 2), (0, 0)))
     xf = xf.reshape(cpad, hp * wd)
 
     def _wop(kk):
         if mode == "stack":
             return _stack_weights(kk, cpad, cpad)
-        if mode == "dy3":
+        if mode in ("dy3", "dy3x2"):
             return _stack_weights_dy(kk, cpad, cpad)
         if mode == "ody":
             return _stack_weights_ody(kk, cpad, cpad)
@@ -629,6 +796,30 @@ def resblock_sft_tile_v3(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
     for j, v in enumerate((scale0, shift0, scale1, shift1)):
         sft = sft.at[j, :c].set(v.astype(jnp.float32))
     sft = sft[:, :, None]
+    if mode == "dy3x2":
+        fn = functools.partial(_rsft_kernel_v3x2, h, w_real, wd, th)
+        out = pl.pallas_call(
+            fn,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=pl.BlockSpec((cpad, 2 * th * wd), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((cpad, h * wd), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, cpad, (2 * th + 4) * wd), x.dtype),
+                pltpu.VMEM((3 * cpad, (th + 4) * wd), x.dtype),
+                pltpu.VMEM((3 * cpad, (th + 4) * wd), x.dtype),
+                pltpu.VMEM((3 * cpad, (th + 2) * wd), x.dtype),
+                pltpu.VMEM((3 * cpad, (th + 2) * wd), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024),
+            interpret=interpret,
+        )(xf, _index_planes(cpad, 2 * th + 4, wd), ws0, bp0, ws1, bp1, sft)
+        return out.reshape(cpad, h, wd)[:c]
+
     stacked_shape = ((9 * cpad, (th + 2) * wd) if mode == "stack"
                      else (8, 128))
     if mode == "dy3":

@@ -55,6 +55,9 @@ class TestConvTileV3:
         (3, 12, 8, 256, 3, "dy3"),     # multi-lane-tile width
         (6, 4, 9, 120, 1, "dy3"),      # 1x1 conv
         (4, 6, 19, 128, 3, "dy3"),     # >2 tiles: double-buffered DMA
+        (5, 7, 11, 100, 3, "dy3x2"),
+        (6, 4, 9, 120, 1, "dy3x2"),    # 1x1 conv, dual-stream
+        (4, 6, 37, 128, 3, "dy3x2"),   # >2 programs, dual-stream
         (3, 12, 8, 256, 3, "stack"),
         (6, 4, 9, 120, 1, "stack"),
         (4, 6, 19, 128, 3, "stack"),
@@ -144,7 +147,9 @@ class TestResBlockSFTTileV3:
     @pytest.mark.parametrize("c,h,wreal,mode", [
         (5, 11, 128, "stack"), (6, 19, 100, "acc"), (4, 9, 250, "stack"),
         (5, 11, 128, "dy3"), (6, 19, 100, "dy3"), (4, 25, 250, "dy3"),
-        (5, 27, 128, "ody"), (6, 19, 100, "ody")])
+        (5, 27, 128, "ody"), (6, 19, 100, "ody"),
+        (5, 11, 128, "dy3x2"), (6, 19, 100, "dy3x2"),
+        (4, 37, 250, "dy3x2")])
     def test_matches_xla(self, c, h, wreal, mode):
         wd = -(-wreal // 128) * 128
         x = jnp.asarray(rng.normal(size=(c, h, wreal)).astype(np.float32))

@@ -11,7 +11,7 @@ for video in Beauty Bosphorus HoneyBee Jockey ReadySteadyGo YachtRide; do
     --crop_list 1080_1920 --resize_list -1 --loss Fusion10_freq \
     --embed pe_1.25_80 --enc_strds 5 3 2 2 2 --enc_dim 64_16 \
     --dec_strds 5 3 2 2 2 --ks 0_1_5 --reduce 1.2 --dec_blks 1 1 2 2 2 \
-    --modelsize "$size" -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.003
+    --modelsize "$size" -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.003 --train_precision high
 done
 done
 # ShakeNDry has 300 frames; slightly smaller sizes keep the same budgets
@@ -25,6 +25,6 @@ for video in ShakeNDry; do
     --crop_list 1080_1920 --resize_list -1 --loss Fusion10_freq \
     --embed pe_1.25_80 --enc_strds 5 3 2 2 2 --enc_dim 64_16 \
     --dec_strds 5 3 2 2 2 --ks 0_1_5 --reduce 1.2 --dec_blks 1 1 2 2 2 \
-    --modelsize "$size" -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.003
+    --modelsize "$size" -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.003 --train_precision high
 done
 done

@@ -9,5 +9,5 @@ for size in 0.64 1.275 2.65; do
     --crop_list 720_1280 --resize_list -1 --loss Fusion10_freq \
     --embed pe_1.25_80 --enc_strds 5 2 2 2 2 --enc_dim 64_16 \
     --dec_strds 5 2 2 2 2 --ks 0_1_5 --reduce 1.2 --dec_blks 1 1 2 2 2 \
-    --modelsize "$size" -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.003
+    --modelsize "$size" -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.003 --train_precision high
 done

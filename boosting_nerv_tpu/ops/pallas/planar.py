@@ -58,6 +58,10 @@ from .tile_conv import (_ACTS, _gelu, _outimg, _preshift_into, _sin_poly,
 
 TH = 8
 
+# scoped-VMEM budget requested from Mosaic; v5e has 128 MiB and ~112 MiB
+# is the default compiler cap — raiseable a little for large-tile variants
+VMEM_LIMIT = 112 * 1024 * 1024
+
 
 def _round16(v):
     return (v + 15) // 16 * 16
@@ -310,7 +314,7 @@ def conv_planar(xp, kernel, bias, *, c_in, c_out, wc_real, act="none",
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xf, half, full, b)
     return out.reshape(4 * cpo, hc, wd)
@@ -399,7 +403,7 @@ def rsft_planar(xp, w0, b0, w1, b1, scale0, shift0, scale1, shift1, *,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xf, h0m, f0m, bp0, h1m, f1m, bp1, sft, planes)
     return out.reshape(4 * cp, hc, wd)
@@ -605,7 +609,7 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xf, prep["wup"], prep["bup"], prep["h0"], prep["f0"], prep["b0"],
       prep["h1"], prep["f1"], prep["b1"], sft, planes)
@@ -732,7 +736,7 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xf, prep["hc"], prep["fc"], prep["bc"], prep["h0"], prep["f0"],
       prep["b0"], prep["h1"], prep["f1"], prep["b1"], hh, fh, bh, sft,

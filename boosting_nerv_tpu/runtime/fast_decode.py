@@ -326,10 +326,14 @@ def build_serving_decode(cfg: BoostConfig, params) -> Callable:
     configs outside the supported Boost paper shapes.
 
     v5 fused-planar when the config has a stride-2 3x3 tail (measured
-    30.6 fps UVG-1080p vs 22.2 for v3, maxerr 2.6e-3 vs flax,
-    tools/v5_probe.py); v3 dy3 otherwise."""
+    31.5 fps UVG-1080p with the {270: 16} tile-height policy vs 22.2 for
+    v3, maxerr 2.6e-3 vs flax; tools/v5_probe.py, tools/r3_perf_probe.py);
+    v3 dy3 otherwise.  "A540": 12 measures 8.82 vs 9.39 ms in isolation
+    (tools/r3_probe2.py) but exceeds the scoped-VMEM cap when compiled
+    inside the full decode program — left out of the default policy."""
     try:
-        return build_fast_decode_v5(cfg, params, planar_from_h=200, th=8)
+        return build_fast_decode_v5(cfg, params, planar_from_h=200,
+                                    th={270: 16})
     except ValueError:
         return build_fast_decode_v3(cfg, params, tile_from_h=45,
                                     mode="dy3")
@@ -517,12 +521,16 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     head_fused = fine_at == len(plan) and plan[-1].strd == 1
 
     # per-stage tile height: int applies everywhere; a dict maps the
-    # stage's COARSE height -> th (missing keys fall back to 8).  The
-    # measured-best UVG-1080p policy (tools/v5_iso_probe.py) is
-    # {270: 16} — th=16 helps only the 270-zone kernels (135 slightly
-    # worse, 540 exceeds scoped VMEM).
-    th_of = ((lambda hc: th) if isinstance(th, int)
-             else (lambda hc: th.get(hc, 8)))
+    # stage's COARSE height (e.g. 270) or kind+height (e.g. "A540" for
+    # the stride-2 kernel only) -> th, missing keys fall back to 8.  The
+    # measured-best UVG-1080p policy (tools/v5_iso_probe.py,
+    # tools/r3_probe2.py) is {270: 16, "A540": 12}: th=16 helps the
+    # 270-zone kernels (135 slightly worse, 540 exceeds scoped VMEM even
+    # at a raised 117 MiB cap); th=12 fits and helps only the 540-zone
+    # A kernel (B+head at 540 exceeds the cap already at 12).
+    th_of = ((lambda kind, hc: th) if isinstance(th, int)
+             else (lambda kind, hc: th.get(f"{kind}{hc}",
+                                           th.get(hc, 8))))
 
     def _pow2(v):
         w = 128
@@ -625,12 +633,12 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                     chw = jnp.pad(fine, ((0, 0), (0, 0), (0, wd - wc)))
                 planar = pk.fused_upconv_rsft(
                     chw, preps[off], sft, c_in=spec.ngf, c=c, wc_real=wc,
-                    th=th_of(out_hw[bi][0] // 2), interpret=interpret)
+                    th=th_of("A", out_hw[bi][0] // 2), interpret=interpret)
             else:
                 is_last_head = head_fused and bi == len(plan) - 1
                 planar = pk.fused_conv_rsft(
                     planar, preps[off], sft, c=c, wc_real=wc,
-                    head=is_last_head, th=th_of(out_hw[bi][0] // 2),
+                    head=is_last_head, th=th_of("B", out_hw[bi][0] // 2),
                     interpret=interpret)
 
         if fine_at < len(plan):

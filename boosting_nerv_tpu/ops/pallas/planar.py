@@ -529,6 +529,287 @@ def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
         out_write(py, (r + b1_ref[pl.ds(py * 2 * cp, 2 * cp)] + resid))
 
 
+# --------------------------------------------------------------------- #
+# Chunked / software-pipelined variants.
+#
+# In the kernels above each conv sub-stage is strictly serialized: the
+# whole K-buffer (VPU: casts, rolls, masks) is built before the first MXU
+# dot reads it, so the VPU prologue and the dots never overlap — measured
+# at ~2.5x above the padded-dot floor on the 540-grid stages (CLAUDE.md
+# round-3 numbers).  The _ck kernels split every conv's OUTPUT rows into
+# `nck` chunks with two alternating chunk-sized K-buffers and emit
+#     build(ck) -> dot(ck) -> epilogue(ck-1)
+# so the VPU build of chunk ck+1 and the epilogue of chunk ck-1 execute
+# while the MXU crunches chunk ck.  All indices are static (the dynamic-
+# major-index pitfall that killed the round-2 pipelined dy3 does not
+# apply); chunk-boundary lane-roll wraps land only on columns the edge
+# masks already zero (col 0 / col >= wc_real-1), so chunked builds are
+# exactly as correct as full-region builds.
+# --------------------------------------------------------------------- #
+
+
+def _chunk_plan(rows, nck):
+    """Split `rows` output rows into <= nck contiguous chunks."""
+    nck = max(1, min(nck, rows))
+    q = -(-rows // nck)  # ceil
+    plan = []
+    i0 = 0
+    while i0 < rows:
+        plan.append((i0, min(q, rows - i0)))
+        i0 += q
+    return plan
+
+
+def _conv_chunked(kbufs, src_get, epi, half_ref, full_ref, cp, cpo, wd,
+                  n_out_rows, nck, wc_real, dt, merge=True):
+    """Chunked planar conv.  src_get(r1, i0, nr) -> f32 (2*Cp, nr*wd)
+    rows [i0, i0+nr) of the conv input region (one halo row before out
+    row 0); epi(o0, a0, a1) consumes the f32 (2*Cpo, q*wd) accs for out
+    rows [o0, o0+q).  Emission order pipelines builds/epilogues against
+    the dots."""
+    plan = _chunk_plan(n_out_rows, nck)
+    colps = {}
+    pend = None
+    for ck, (i0, q) in enumerate(plan):
+        nr = q + 2
+        if nr not in colps:
+            colps[nr] = _col_plane(cp, nr * wd, wd)
+        kb = kbufs[ck & 1]
+
+        def get(r1, _i0=i0, _nr=nr):
+            return src_get(r1, _i0, _nr)
+
+        _build_kbuf(kb, get, colps[nr], wc_real, cp, dt)
+        a0, a1 = _planar_dots(kb, half_ref, full_ref, cp, cpo, wd, q * wd,
+                              merge=merge)
+        if pend is not None:
+            epi(*pend)
+        pend = (i0, a0, a1)
+    epi(*pend)
+
+
+def _rsft_chain_ck(row0, th, wd, cp, hc_real, wc_real, dt, src_get,
+                   planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
+                   f1_ref, b1_ref, kbufs, mid, out_write, nck, merge=True):
+    """Chunked _rsft_chain.  src_get(r1, i0, nr): f32 rows of the block
+    input region ((th+4) rows, lane 0 = abs row `row0` - 2) — also the
+    residual source; out_write(py, o0, val) stores out rows [o0, o0+q)."""
+    s0 = sft_ref[0] + 1.0
+    h0v = sft_ref[1]
+    s1 = sft_ref[2] + 1.0
+    h1v = sft_ref[3]
+
+    def src0(r1, i0, nr):
+        n = nr * wd
+        sl = src_get(r1, i0, nr)
+        sv = lax.slice_in_dim(s0, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
+        hv = lax.slice_in_dim(h0v, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
+        rowp = planes_ref[0, :, pl.ds(0, n)] + (row0 - 2 + i0)
+        colp = planes_ref[1, :, pl.ds(0, n)]
+        ok = (rowp >= 0) & (rowp < hc_real) & (colp < wc_real)
+        return jnp.where(ok, sl * sv + hv, 0.0)
+
+    def epi0(o0, a0, a1):
+        n = a0.shape[1]
+        rowp = planes_ref[0, :, pl.ds(0, n)] + (row0 - 1 + o0)
+        colp = planes_ref[1, :, pl.ds(0, n)]
+        ok = (rowp >= 0) & (rowp < hc_real) & (colp < wc_real)
+        for py, a in ((0, a0), (1, a1)):
+            m = _gelu(a + b0_ref[pl.ds(py * 2 * cp, 2 * cp)]) * \
+                lax.slice_in_dim(s1, py * 2 * cp, (py + 1) * 2 * cp,
+                                 axis=0) + \
+                lax.slice_in_dim(h1v, py * 2 * cp, (py + 1) * 2 * cp,
+                                 axis=0)
+            mid[pl.ds(py * 2 * cp, 2 * cp), pl.ds(o0 * wd, n)] = jnp.where(
+                ok, m, 0.0).astype(dt)
+
+    _conv_chunked(kbufs, src0, epi0, h0_ref, f0_ref, cp, cp, wd, th + 2,
+                  nck, wc_real, dt, merge=merge)
+
+    def src1(r1, i0, nr):
+        return mid[pl.ds(r1 * 2 * cp, 2 * cp),
+                   pl.ds(i0 * wd, nr * wd)].astype(jnp.float32)
+
+    def epi1(o0, a0, a1):
+        n = a0.shape[1]
+        for py, a in ((0, a0), (1, a1)):
+            resid = src_get(py, 2 + o0, n // wd)
+            out_write(py, o0,
+                      a + b1_ref[pl.ds(py * 2 * cp, 2 * cp)] + resid)
+
+    _conv_chunked(kbufs, src1, epi1, h1_ref, f1_ref, cp, cp, wd, th,
+                  nck, wc_real, dt, merge=merge)
+
+
+def _copy_slot(xcur, xtile, slot):
+    """Copy the DMA'd block to a fixed buffer with STATIC major indices
+    (xtile[slot] is a dynamic-major-index vector load otherwise)."""
+    @pl.when(slot == 0)
+    def _():
+        xcur[...] = xtile[0]
+
+    @pl.when(slot == 1)
+    def _():
+        xcur[...] = xtile[1]
+
+
+def _upconv_rsft_kernel_ck(hc_real, wc_real, wd, cpi, cp, th, nck, x_hbm,
+                           wup_ref, bup_ref, h0_ref, f0_ref, b0_ref,
+                           h1_ref, f1_ref, b1_ref, sft_ref, planes_ref,
+                           out_ref, xtile, xcur, shbuf, abuf, kba, kbb,
+                           mid, sem):
+    """Chunked stage kernel A: stride-2 upconv -> sin -> TAT block."""
+    nout = out_ref.shape[1]
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    lanes_in = (th + 6) * wd
+    n_a_rows = th + 4
+
+    def cp_dma(step, slot):
+        src = pl.multiple_of(step * th * wd, th * wd)
+        return pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes_in)],
+                                     xtile.at[slot], sem.at[slot])
+
+    slot = lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cp_dma(i, slot).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        cp_dma(i + 1, 1 - slot).start()
+
+    cp_dma(i, slot).wait()
+    _copy_slot(xcur, xtile, slot)
+
+    # chunked upconv: 3-tap dy dots on pre-shifted interleaved input.
+    # out row j of the (th+4)-row 'a' region reads input rows j..j+2.
+    plan = _chunk_plan(n_a_rows, nck)
+    colps = {}
+    pend = None
+    for ck, (i0, q) in enumerate(plan):
+        nr = q + 2
+        if nr not in colps:
+            colps[nr] = _col_plane(cpi, nr * wd, wd)
+        sh = shbuf.at[ck & 1]
+        x32 = xcur[:, pl.ds(i0 * wd, nr * wd)].astype(jnp.float32)
+        _preshift_into(sh, x32, colps[nr], wc_real, dt, cpi)
+        acc = jnp.zeros((4 * cp, q * wd), jnp.float32)
+        for dy in range(3):
+            acc = acc + lax.dot(wup_ref[dy], sh[:, pl.ds(dy * wd, q * wd)],
+                                preferred_element_type=jnp.float32)
+        if pend is not None:
+            o0, a = pend
+            abuf[:, pl.ds(o0 * wd, a.shape[1])] = _sin_poly(
+                a + bup_ref[...])
+        pend = (i0, acc)
+    o0, a = pend
+    abuf[:, pl.ds(o0 * wd, a.shape[1])] = _sin_poly(
+        a + bup_ref[...])
+
+    def src_get(r1, i0, nr):
+        return abuf[pl.ds(r1 * 2 * cp, 2 * cp),
+                    pl.ds(i0 * wd, nr * wd)].astype(jnp.float32)
+
+    def out_write(py, o0, val):
+        out_ref[pl.ds(py * 2 * cp, 2 * cp),
+                pl.ds(o0 * wd, val.shape[1])] = val.astype(dt)
+
+    _rsft_chain_ck(i * th, th, wd, cp, hc_real, wc_real, dt, src_get,
+                   planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
+                   f1_ref, b1_ref, (kba, kbb), mid, out_write, nck)
+
+
+def _conv_rsft_kernel_ck(hc_real, wc_real, wd, cp, th, head, nck, x_hbm,
+                         hc_ref, fc_ref, bc_ref, h0_ref, f0_ref, b0_ref,
+                         h1_ref, f1_ref, b1_ref, hh_ref, fh_ref, bh_ref,
+                         sft_ref, planes_ref, out_ref, xtile, xcur, cbuf,
+                         kba, kbb, mid, rbuf, sem):
+    """Chunked stage kernel B: planar conv -> sin -> TAT [-> head]."""
+    dt = out_ref.dtype
+    i = pl.program_id(0)
+    halo = 4 if head else 3
+    lanes_in = (th + 2 * halo) * wd
+    n_c_rows = th + 2 * halo - 2
+
+    def cp_dma(step, slot):
+        src = pl.multiple_of(step * th * wd, th * wd)
+        return pltpu.make_async_copy(x_hbm.at[:, pl.ds(src, lanes_in)],
+                                     xtile.at[slot], sem.at[slot])
+
+    slot = lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        cp_dma(i, slot).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        cp_dma(i + 1, 1 - slot).start()
+
+    cp_dma(i, slot).wait()
+    _copy_slot(xcur, xtile, slot)
+
+    def src_pre(r1, i0, nr):
+        return xcur[pl.ds(r1 * 2 * cp, 2 * cp),
+                    pl.ds(i0 * wd, nr * wd)].astype(jnp.float32)
+
+    def epi_pre(o0, a0, a1):
+        n = a0.shape[1]
+        cbuf[pl.ds(0, 2 * cp), pl.ds(o0 * wd, n)] = _sin_poly(
+            a0 + bc_ref[pl.ds(0, 2 * cp)]).astype(dt)
+        cbuf[pl.ds(2 * cp, 2 * cp), pl.ds(o0 * wd, n)] = _sin_poly(
+            a1 + bc_ref[pl.ds(2 * cp, 2 * cp)]).astype(dt)
+
+    _conv_chunked((kba, kbb), src_pre, epi_pre, hc_ref, fc_ref, cp, cp,
+                  wd, n_c_rows, nck, wc_real, dt, merge=not head)
+
+    def src_chain(r1, i0, nr):
+        return cbuf[pl.ds(r1 * 2 * cp, 2 * cp),
+                    pl.ds(i0 * wd, nr * wd)].astype(jnp.float32)
+
+    if not head:
+        def out_write(py, o0, val):
+            out_ref[pl.ds(py * 2 * cp, 2 * cp),
+                    pl.ds(o0 * wd, val.shape[1])] = val.astype(dt)
+
+        _rsft_chain_ck(i * th, th, wd, cp, hc_real, wc_real, dt,
+                       src_chain, planes_ref, sft_ref, h0_ref, f0_ref,
+                       b0_ref, h1_ref, f1_ref, b1_ref, (kba, kbb), mid,
+                       out_write, nck)
+        return
+
+    thr = th + 2
+
+    def out_write_r(py, o0, val):
+        n = val.shape[1]
+        rowr = planes_ref[0, :, pl.ds(0, n)] + (i * th - 1 + o0)
+        colr = planes_ref[1, :, pl.ds(0, n)]
+        ok = (rowr >= 0) & (rowr < hc_real) & (colr < wc_real)
+        rbuf[pl.ds(py * 2 * cp, 2 * cp), pl.ds(o0 * wd, n)] = jnp.where(
+            ok, val, 0.0).astype(dt)
+
+    _rsft_chain_ck(i * th - 1, thr, wd, cp, hc_real, wc_real, dt,
+                   src_chain, planes_ref, sft_ref, h0_ref, f0_ref, b0_ref,
+                   h1_ref, f1_ref, b1_ref, (kba, kbb), mid, out_write_r,
+                   nck, merge=False)
+
+    def src_head(r1, i0, nr):
+        return rbuf[pl.ds(r1 * 2 * cp, 2 * cp),
+                    pl.ds(i0 * wd, nr * wd)].astype(jnp.float32)
+
+    def epi_head(o0, h0o, h1o):
+        n = h0o.shape[1]
+        out_ref[pl.ds(0, 32), pl.ds(o0 * wd, n)] = _outimg(
+            h0o + bh_ref[pl.ds(0, 32)]).astype(dt)
+        out_ref[pl.ds(32, 32), pl.ds(o0 * wd, n)] = _outimg(
+            h1o + bh_ref[pl.ds(32, 32)]).astype(dt)
+
+    _conv_chunked((kba, kbb), src_head, epi_head, hh_ref, fh_ref, cp, 16,
+                  wd, th, nck, wc_real, dt, merge=False)
+
+
 def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, x_hbm, wup_ref,
                         bup_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref,
                         b1_ref, sft_ref, planes_ref, out_ref, xtile, shbuf,
@@ -575,12 +856,13 @@ def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, x_hbm, wup_ref,
                 kb1, mid, kb2, out_write)
 
 
-def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH,
+def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
                       interpret=False):
     """Stage kernel A wrapper.  x: (C_in, Hc, Wd) interleaved bf16 on the
     coarse grid (Wd a power of two); prep: prepare_upconv_rsft output;
     sft: (4, 4*Cp, 1) planar SFT vectors.  Returns (4*Cp, Hc, Wd) planar
-    — the stage's fine (C, 2*Hc, 2*Wc) output."""
+    — the stage's fine (C, 2*Hc, 2*Wc) output.  nck>0 selects the
+    chunked/software-pipelined kernel with nck chunks per conv."""
     ci, hc, wd = x.shape
     assert wd & (wd - 1) == 0 and wd >= 128, wd
     cpi = _round16(c_in)
@@ -589,9 +871,35 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH,
     hp = grid * th + 6
     xf = jnp.pad(x, ((0, cpi - ci), (3, hp - hc - 3), (0, 0)))
     xf = xf.reshape(cpi, hp * wd)
-    fn = functools.partial(_upconv_rsft_kernel, hc, wc_real, wd, cpi, cp,
-                           th)
     planes = _region_planes(2 * cp, th + 4, wd)
+    if nck > 0:
+        q_up = _chunk_plan(th + 4, nck)[0][1]
+        q_kb = _chunk_plan(th + 2, nck)[0][1]
+        fn = functools.partial(_upconv_rsft_kernel_ck, hc, wc_real, wd,
+                               cpi, cp, th, nck)
+        scratch = [
+            pltpu.VMEM((2, cpi, (th + 6) * wd), x.dtype),
+            pltpu.VMEM((cpi, (th + 6) * wd), x.dtype),
+            pltpu.VMEM((2, 3 * cpi, (q_up + 2) * wd), x.dtype),
+            # f32: keeps the 'a' region unrounded like the non-chunked
+            # kernel (bit-exact parity; bf16 here costs one ulp e2e)
+            pltpu.VMEM((4 * cp, (th + 4) * wd), jnp.float32),
+            pltpu.VMEM((8 * cp, (q_kb + 2) * wd), x.dtype),
+            pltpu.VMEM((8 * cp, (q_kb + 2) * wd), x.dtype),
+            pltpu.VMEM((4 * cp, (th + 2) * wd), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        fn = functools.partial(_upconv_rsft_kernel, hc, wc_real, wd, cpi,
+                               cp, th)
+        scratch = [
+            pltpu.VMEM((2, cpi, (th + 6) * wd), x.dtype),
+            pltpu.VMEM((3 * cpi, (th + 6) * wd), x.dtype),
+            pltpu.VMEM((8 * cp, (th + 4) * wd), x.dtype),
+            pltpu.VMEM((4 * cp, (th + 2) * wd), x.dtype),
+            pltpu.VMEM((8 * cp, (th + 2) * wd), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     out = pl.pallas_call(
         fn,
         grid=(grid,),
@@ -600,14 +908,7 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH,
         out_specs=pl.BlockSpec((4 * cp, th * wd), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4 * cp, hc * wd), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, cpi, (th + 6) * wd), x.dtype),
-            pltpu.VMEM((3 * cpi, (th + 6) * wd), x.dtype),
-            pltpu.VMEM((8 * cp, (th + 4) * wd), x.dtype),
-            pltpu.VMEM((4 * cp, (th + 2) * wd), x.dtype),
-            pltpu.VMEM((8 * cp, (th + 2) * wd), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
@@ -695,11 +996,12 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, x_hbm, hc_ref,
 
 
 def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
-                    interpret=False):
+                    nck=0, interpret=False):
     """Stage kernel B wrapper.  xp: (4*Cp, Hc, Wd) planar bf16; prep:
     prepare_conv_rsft output; sft: (4, 4*Cp, 1).  Returns (4*Cp, Hc, Wd)
     planar, or with head=True the (64, Hc, Wd) planar RGB (plane p rows
-    [16p, 16p+3))."""
+    [16p, 16p+3)).  nck>0 selects the chunked/software-pipelined kernel
+    with nck chunks per conv."""
     g, hc, wd = xp.shape
     assert wd & (wd - 1) == 0 and wd >= 128, wd
     cp = g // 4
@@ -716,8 +1018,32 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
     fh = prep.get("fh", dummy)
     bh = prep.get("bh", jnp.zeros((64, 1), jnp.float32))
     planes = _region_planes(2 * cp, th + 2 * halo - 2, wd)
-    fn = functools.partial(_conv_rsft_kernel, hc, wc_real, wd, cp, th,
-                           head)
+    if nck > 0:
+        q_kb = _chunk_plan(th + 2 * halo - 2, nck)[0][1]
+        fn = functools.partial(_conv_rsft_kernel_ck, hc, wc_real, wd, cp,
+                               th, head, nck)
+        scratch = [
+            pltpu.VMEM((2, 4 * cp, (th + 2 * halo) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, (th + 2 * halo) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, (th + 2 * halo - 2) * wd), xp.dtype),
+            pltpu.VMEM((8 * cp, (q_kb + 2) * wd), xp.dtype),
+            pltpu.VMEM((8 * cp, (q_kb + 2) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, (th + 2 * halo - 4) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, n_r) if head else (8, 128), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        fn = functools.partial(_conv_rsft_kernel, hc, wc_real, wd, cp, th,
+                               head)
+        scratch = [
+            pltpu.VMEM((2, 4 * cp, (th + 2 * halo) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, (th + 2 * halo - 2) * wd), xp.dtype),
+            pltpu.VMEM((8 * cp, (th + 2 * halo) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, (th + 2 * halo - 4) * wd), xp.dtype),
+            pltpu.VMEM((8 * cp, (th + 2 * halo - 4) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, n_r) if head else (8, 128), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     out = pl.pallas_call(
         fn,
         grid=(grid,),
@@ -726,15 +1052,7 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
         out_specs=pl.BlockSpec((gout, th * wd), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gout, hc * wd), xp.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, 4 * cp, (th + 2 * halo) * wd), xp.dtype),
-            pltpu.VMEM((4 * cp, (th + 2 * halo - 2) * wd), xp.dtype),
-            pltpu.VMEM((8 * cp, (th + 2 * halo) * wd), xp.dtype),
-            pltpu.VMEM((4 * cp, (th + 2 * halo - 4) * wd), xp.dtype),
-            pltpu.VMEM((8 * cp, (th + 2 * halo - 4) * wd), xp.dtype),
-            pltpu.VMEM((4 * cp, n_r) if head else (8, 128), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,

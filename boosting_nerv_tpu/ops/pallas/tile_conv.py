@@ -243,9 +243,10 @@ def _preshift_into(buf, x32, colp, w_real, dt, cpad):
     scratch `buf` (dx-major row blocks) so that for every row offset dy the
     K=3*Cpad rhs of the conv dot is ONE static slice buf[:, dy*w:dy*w+n]."""
     xm, x0, xp = _preshift(x32, colp, w_real, dt)
-    buf[pl.ds(0, cpad), :] = xm
-    buf[pl.ds(cpad, cpad), :] = x0
-    buf[pl.ds(2 * cpad, cpad), :] = xp
+    lanes = x32.shape[1]  # lane-partial: the scratch may be wider
+    buf[pl.ds(0, cpad), pl.ds(0, lanes)] = xm
+    buf[pl.ds(cpad, cpad), pl.ds(0, lanes)] = x0
+    buf[pl.ds(2 * cpad, cpad), pl.ds(0, lanes)] = xp
 
 
 def _stack_weights_dy(kernel, cpad, copad):

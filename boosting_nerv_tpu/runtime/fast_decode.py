@@ -442,7 +442,7 @@ def build_fast_decode(cfg: BoostConfig, params,
 
 def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                          th: int | dict = 8, fine_from_h: int = 10 ** 9,
-                         head_th: int = 24,
+                         head_th: int = 24, nck: int | dict = 0,
                          interpret: bool = False) -> Callable:
     """v5: fused-stage subpixel-planar tail (ops/pallas/planar).
 
@@ -531,6 +531,12 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     th_of = ((lambda kind, hc: th) if isinstance(th, int)
              else (lambda kind, hc: th.get(f"{kind}{hc}",
                                            th.get(hc, 8))))
+    # chunk count for the software-pipelined kernel variants (planar.py
+    # _ck kernels): 0 = production serialized kernels; same dict keying
+    # as `th` ("A540"/"B540"/540/... -> nck).
+    nck_of = ((lambda kind, hc: nck) if isinstance(nck, int)
+              else (lambda kind, hc: nck.get(f"{kind}{hc}",
+                                             nck.get(hc, 0))))
 
     def _pow2(v):
         w = 128
@@ -633,12 +639,15 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                     chw = jnp.pad(fine, ((0, 0), (0, 0), (0, wd - wc)))
                 planar = pk.fused_upconv_rsft(
                     chw, preps[off], sft, c_in=spec.ngf, c=c, wc_real=wc,
-                    th=th_of("A", out_hw[bi][0] // 2), interpret=interpret)
+                    th=th_of("A", out_hw[bi][0] // 2),
+                    nck=nck_of("A", out_hw[bi][0] // 2),
+                    interpret=interpret)
             else:
                 is_last_head = head_fused and bi == len(plan) - 1
                 planar = pk.fused_conv_rsft(
                     planar, preps[off], sft, c=c, wc_real=wc,
                     head=is_last_head, th=th_of("B", out_hw[bi][0] // 2),
+                    nck=nck_of("B", out_hw[bi][0] // 2),
                     interpret=interpret)
 
         if fine_at < len(plan):

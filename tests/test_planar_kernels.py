@@ -189,6 +189,60 @@ class TestFusedStageKernels:
         err = float(jnp.abs(got.astype(jnp.float32) - ref).max())
         assert err < 0.05 * max(float(jnp.abs(ref).max()), 1.0), err
 
+    @staticmethod
+    def _assert_ck_parity(got, ref):
+        """nck>0 vs nck=0: same math, different emission order.  The only
+        legitimate difference is a rare 1-ulp bf16 tie flip: interpret
+        mode lowers the dots to XLA-CPU, whose f32 summation order varies
+        with the dot's N dimension (chunked dots have smaller N), and a
+        2^-24-relative f32 difference can flip bf16 rounding on a tie.
+        Indexing/halo bugs produce O(1) errors on many elements — so
+        require <= 8 differing elements, each within 1 bf16 ulp rel."""
+        g = np.asarray(got.astype(jnp.float32))
+        r = np.asarray(ref.astype(jnp.float32))
+        diff = np.abs(g - r)
+        bad = diff > 0
+        assert int(bad.sum()) <= 8, int(bad.sum())
+        tol = np.maximum(np.abs(r), np.abs(g)) * 2.0 ** -7 + 1e-30
+        assert bool((diff <= tol).all()), float(diff.max())
+
+    @pytest.mark.parametrize("nck", [2, 3])
+    def test_chunked_kernels_bit_exact(self, nck):
+        """The software-pipelined (nck>0) stage kernels are the same math
+        as the serialized ones in a different emission order — require
+        (near-)exact equality against nck=0 (see tools/r3_ck_parity.py)."""
+        from boosting_nerv_tpu.ops.pallas.planar import (
+            fused_conv_rsft, fused_upconv_rsft, prepare_conv_rsft,
+            prepare_upconv_rsft, sft_planar_vectors)
+
+        c_in, c, hc, wc, wd = 6, 5, 11, 50, 128
+        x = self._rand(c_in, hc, wd).astype(jnp.bfloat16)
+        prep_a = prepare_upconv_rsft(
+            self._rand(3, 3, c_in, 4 * c), self._rand(4 * c, s=0.1),
+            self._rand(3, 3, c, c), self._rand(c, s=0.1),
+            self._rand(3, 3, c, c), self._rand(c, s=0.1), c_in=c_in, c=c)
+        sft = sft_planar_vectors(*[self._rand(c, s=0.3) for _ in range(4)],
+                                 16)
+        ref = fused_upconv_rsft(x, prep_a, sft, c_in=c_in, c=c, wc_real=wc,
+                                th=4, interpret=True)
+        got = fused_upconv_rsft(x, prep_a, sft, c_in=c_in, c=c, wc_real=wc,
+                                th=4, nck=nck, interpret=True)
+        self._assert_ck_parity(got, ref)
+
+        xp = self._rand(4 * 16, hc, wd).astype(jnp.bfloat16)
+        for head in (False, True):
+            prep_b = prepare_conv_rsft(
+                self._rand(3, 3, c, c), self._rand(c, s=0.1),
+                self._rand(3, 3, c, c), self._rand(c, s=0.1),
+                self._rand(3, 3, c, c), self._rand(c, s=0.1), c=c,
+                head_k=self._rand(3, 3, c, 3) if head else None,
+                head_b=self._rand(3, s=0.1) if head else None)
+            ref = fused_conv_rsft(xp, prep_b, sft, c=c, wc_real=wc,
+                                  head=head, th=4, interpret=True)
+            got = fused_conv_rsft(xp, prep_b, sft, c=c, wc_real=wc,
+                                  head=head, th=4, nck=nck, interpret=True)
+            self._assert_ck_parity(got, ref)
+
 
 class TestFastDecodeV5:
     def test_matches_flax_decode(self):

@@ -97,6 +97,14 @@ def ms_ssim(x: jnp.ndarray, y: jnp.ndarray, data_range: float = 1.0,
     implementation's usable range (160+ pixels for the default 5 levels).
     """
     levels = len(weights)
+    min_side = (win_size - 1) * 2 ** (levels - 1)
+    if min(x.shape[1], x.shape[2]) <= min_side:
+        # pytorch_msssim raises here too; without the check the smallest
+        # scale underflows the window and silently yields NaN (which then
+        # poisons Fusion10* training losses).
+        raise ValueError(
+            f"ms_ssim needs min(H, W) > {min_side} for {levels} levels "
+            f"(got {x.shape[1]}x{x.shape[2]})")
     w = jnp.asarray(weights, dtype=x.dtype)
     mcs = []
     ssim_pc = None

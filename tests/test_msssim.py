@@ -95,6 +95,14 @@ class TestMSSSIM:
         ref = _msssim_torch(ta, tb).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
+    def test_rejects_small_frames(self):
+        # parity with pytorch_msssim's assert: the 4 downsamplings need
+        # min(H, W) > (win_size-1)*2**4 = 160; below that the smallest
+        # scale silently NaNs (measured: poisons Fusion10* training)
+        a, b = _pair(64, 128)
+        with pytest.raises(ValueError, match="ms_ssim needs"):
+            ms_ssim(jnp.asarray(a), jnp.asarray(b))
+
     def test_degrades_with_noise(self):
         a, _ = _pair(176, 176)
         rng = np.random.default_rng(1)

@@ -176,7 +176,9 @@ class TestMicroBatchAccumulation:
             conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
             sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4,
             enc_strds=[2, 2], enc_dim="8_4", enc_blks=1, epochs=1,
-            batchSize=4, lr=1e-3, loss="Fusion10_freq", not_resume=True)
+            # L1_freq, not Fusion10_freq: ms_ssim (like the reference
+            # pytorch_msssim) refuses frames with min side <= 160
+            batchSize=4, lr=1e-3, loss="L1_freq", not_resume=True)
         outs = {}
         for tag, mb in (("full", 0), ("micro", 2)):
             cfg = BoostConfig(**base, micro_batch=mb,

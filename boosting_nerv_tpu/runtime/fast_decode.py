@@ -330,10 +330,29 @@ def build_serving_decode(cfg: BoostConfig, params) -> Callable:
     v3, maxerr 2.6e-3 vs flax; tools/v5_probe.py, tools/r3_perf_probe.py);
     v3 dy3 otherwise.  "A540": 12 measures 8.82 vs 9.39 ms in isolation
     (tools/r3_probe2.py) but exceeds the scoped-VMEM cap when compiled
-    inside the full decode program — left out of the default policy."""
+    inside the full decode program — left out of the default policy.
+
+    Env overrides for measurement sessions (JSON dicts/ints, same
+    semantics as the th/nck kwargs; string keys like "A540" or "270"
+    are accepted): BNT_DECODE_TH, BNT_DECODE_NCK."""
+    import json as _json
+    import os as _os
+
+    def _policy(env, default):
+        raw = _os.environ.get(env)
+        if not raw:
+            return default
+        v = _json.loads(raw)
+        if isinstance(v, dict):
+            v = {(int(k) if k.lstrip("-").isdigit() else k): int(x)
+                 for k, x in v.items()}
+        return v
+
     try:
-        return build_fast_decode_v5(cfg, params, planar_from_h=200,
-                                    th={270: 16})
+        return build_fast_decode_v5(
+            cfg, params, planar_from_h=200,
+            th=_policy("BNT_DECODE_TH", {270: 16}),
+            nck=_policy("BNT_DECODE_NCK", 0))
     except ValueError:
         return build_fast_decode_v3(cfg, params, tile_from_h=45,
                                     mode="dy3")

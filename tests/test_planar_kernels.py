@@ -270,6 +270,13 @@ class TestFastDecodeV5:
         err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
         assert err < 0.02, err
 
+        # chunked kernels end-to-end: same tolerance vs flax as nck=0
+        dec_ck = build_fast_decode_v5(cfg, params, planar_from_h=1, th=4,
+                                      nck=2, interpret=True)
+        out_ck = dec_ck(embed, t)
+        err_ck = float(jnp.abs(out_ck.astype(jnp.float32) - ref).max())
+        assert err_ck < 0.02, err_ck
+
 
 class TestFastDecodeV5NeRVBoost:
     def test_matches_flax_decode(self):

@@ -440,7 +440,8 @@ def _rsft_mats(w0, b0, w1, b1, cp):
     h0m, f0m = planar_conv_mats(w0, cp, cp)
     h1m, f1m = planar_conv_mats(w1, cp, cp)
     return dict(h0=h0m, f0=f0m, b0=_planar_bias(b0, cp),
-                h1=h1m, f1=f1m, b1=_planar_bias(b1, cp))
+                h1=h1m, f1=f1m, b1=_planar_bias(b1, cp),
+                f1_r=reorder_full_split(f1m, cp))
 
 
 def prepare_upconv_rsft(upk, upb, w0, b0, w1, b1, *, c_in, c):
@@ -450,7 +451,8 @@ def prepare_upconv_rsft(upk, upb, w0, b0, w1, b1, *, c_in, c):
     cp = _round16(c)
     kp = upconv_kernel_to_planar(upk, cp)
     kp = jnp.pad(kp, ((0, 0), (0, 0), (0, cpi - c_in), (0, 0)))
-    return dict(wup=_stack_weights_dy(kp, cpi, 4 * cp),
+    wup = _stack_weights_dy(kp, cpi, 4 * cp)
+    return dict(wup=wup, wup_r=reorder_wup_split(wup, cpi),
                 bup=upconv_bias_to_planar(upb, cp),
                 **_rsft_mats(w0, b0, w1, b1, cp))
 
@@ -461,11 +463,13 @@ def prepare_conv_rsft(ck, cb, w0, b0, w1, b1, *, c, head_k=None,
     stride-1 conv; optional head_k: HWIO (3, 3, C, 3)."""
     cp = _round16(c)
     hm, fm = planar_conv_mats(ck, cp, cp)
-    prep = dict(hc=hm, fc=fm, bc=_planar_bias(cb, cp),
+    prep = dict(hc=hm, fc=fm, fc_r=reorder_full_split(fm, cp),
+                bc=_planar_bias(cb, cp),
                 **_rsft_mats(w0, b0, w1, b1, cp))
     if head_k is not None:
         hh, fh = planar_conv_mats(head_k, cp, 16)
-        prep.update(hh=hh, fh=fh, bh=_planar_bias(head_b, 16))
+        prep.update(hh=hh, fh=fh, fh_r=reorder_full_split(fh, cp),
+                    bh=_planar_bias(head_b, 16))
     return prep
 
 
@@ -560,13 +564,90 @@ def _chunk_plan(rows, nck):
     return plan
 
 
+def _build_sbuf(buf, get, colp, wc_real, cp, dt):
+    """Split-dot companion of _build_kbuf: store ONLY the +-1-column
+    rolled planes (vm, vp per r1 group — 4*Cp rows total), the unshifted
+    planes are read straight from the resident source by
+    _planar_dots_split.  get(r1) -> f32 (2*Cp, L)."""
+    for r1 in (0, 1):
+        g = get(r1)
+        lanes = g.shape[1]
+        p0 = lax.slice_in_dim(g, 0, cp, axis=0)
+        p1 = lax.slice_in_dim(g, cp, 2 * cp, axis=0)
+        vm = jnp.where(colp > 0, pltpu.roll(p1, 1, axis=1), 0.0)
+        vp = jnp.where(colp < wc_real - 1,
+                       pltpu.roll(p0, lanes - 1, axis=1), 0.0)
+        buf[pl.ds(r1 * 2 * cp, cp), pl.ds(0, lanes)] = vm.astype(dt)
+        buf[pl.ds(r1 * 2 * cp + cp, cp), pl.ds(0, lanes)] = vp.astype(dt)
+
+
+def reorder_full_split(full, cp):
+    """(4*Cpo, 8*Cp) full mats -> column order [unshifted | shifted]:
+    [vb0,vb1 r1=0 | vb0,vb1 r1=1 | vm,vp r1=0 | vm,vp r1=1], so the
+    split dots read src rows [0:4*Cp] and sbuf rows [0:4*Cp] with
+    contiguous K.  Row order (and hence per-py slicing) is untouched."""
+    return jnp.concatenate(
+        [full[:, 0:2 * cp], full[:, 4 * cp:6 * cp],
+         full[:, 2 * cp:4 * cp], full[:, 6 * cp:8 * cp]], axis=1)
+
+
+def _planar_dots_split(src, l0, sbuf, half_ref, fullr_ref, cp, cpo, wd,
+                       nout, merge=True):
+    """_planar_dots with the unshifted K-planes read straight from the
+    resident source `src` (rows [0:4*Cp] = the planar channel block,
+    lane l0 = the conv region's lane 0) and the rolled planes from the
+    chunk-local `sbuf` (built by _build_sbuf, lane 0 = region lane 0 of
+    the chunk).  fullr_ref must be reorder_full_split(full)."""
+    f32 = jnp.float32
+    fu = fullr_ref[:, pl.ds(0, 4 * cp)]
+    fs = fullr_ref[:, pl.ds(4 * cp, 4 * cp)]
+    if merge:
+        af = (lax.dot(fu, src[pl.ds(0, 4 * cp), pl.ds(l0 + wd, nout)],
+                      preferred_element_type=f32)
+              + lax.dot(fs, sbuf[pl.ds(0, 4 * cp), pl.ds(wd, nout)],
+                        preferred_element_type=f32))
+    accs = []
+    for py, u_half in enumerate((-1, 1)):
+        r1h = 1 - py
+        off_h = (u_half + 1) * wd
+        hpy = half_ref[py]
+        a = (lax.dot(lax.slice_in_dim(hpy, 0, 2 * cp, axis=1),
+                     src[pl.ds(r1h * 2 * cp, 2 * cp),
+                         pl.ds(l0 + off_h, nout)],
+                     preferred_element_type=f32)
+             + lax.dot(lax.slice_in_dim(hpy, 2 * cp, 4 * cp, axis=1),
+                       sbuf[pl.ds(r1h * 2 * cp, 2 * cp),
+                            pl.ds(off_h, nout)],
+                       preferred_element_type=f32))
+        if merge:
+            a = a + lax.slice_in_dim(af, py * 2 * cpo, (py + 1) * 2 * cpo,
+                                     axis=0)
+        else:
+            a = (a
+                 + lax.dot(lax.slice_in_dim(fu, py * 2 * cpo,
+                                            (py + 1) * 2 * cpo, axis=0),
+                           src[pl.ds(0, 4 * cp), pl.ds(l0 + wd, nout)],
+                           preferred_element_type=f32)
+                 + lax.dot(lax.slice_in_dim(fs, py * 2 * cpo,
+                                            (py + 1) * 2 * cpo, axis=0),
+                           sbuf[pl.ds(0, 4 * cp), pl.ds(wd, nout)],
+                           preferred_element_type=f32))
+        accs.append(a)
+    return accs
+
+
 def _conv_chunked(kbufs, src_get, epi, half_ref, full_ref, cp, cpo, wd,
-                  n_out_rows, nck, wc_real, dt, merge=True):
+                  n_out_rows, nck, wc_real, dt, merge=True, src_ref=None):
     """Chunked planar conv.  src_get(r1, i0, nr) -> f32 (2*Cp, nr*wd)
     rows [i0, i0+nr) of the conv input region (one halo row before out
     row 0); epi(o0, a0, a1) consumes the f32 (2*Cpo, q*wd) accs for out
     rows [o0, o0+q).  Emission order pipelines builds/epilogues against
-    the dots."""
+    the dots.
+
+    src_ref (split mode): a resident (>=4*Cp, region lanes) ref holding
+    the conv input region VERBATIM in dt — the unshifted dot planes then
+    read it directly and the K-bufs hold only the rolled planes (half
+    the prologue stores); full_ref must be reorder_full_split(full)."""
     plan = _chunk_plan(n_out_rows, nck)
     colps = {}
     pend = None
@@ -579,9 +660,15 @@ def _conv_chunked(kbufs, src_get, epi, half_ref, full_ref, cp, cpo, wd,
         def get(r1, _i0=i0, _nr=nr):
             return src_get(r1, _i0, _nr)
 
-        _build_kbuf(kb, get, colps[nr], wc_real, cp, dt)
-        a0, a1 = _planar_dots(kb, half_ref, full_ref, cp, cpo, wd, q * wd,
-                              merge=merge)
+        if src_ref is None:
+            _build_kbuf(kb, get, colps[nr], wc_real, cp, dt)
+            a0, a1 = _planar_dots(kb, half_ref, full_ref, cp, cpo, wd,
+                                  q * wd, merge=merge)
+        else:
+            _build_sbuf(kb, get, colps[nr], wc_real, cp, dt)
+            a0, a1 = _planar_dots_split(src_ref, i0 * wd, kb, half_ref,
+                                        full_ref, cp, cpo, wd, q * wd,
+                                        merge=merge)
         if pend is not None:
             epi(*pend)
         pend = (i0, a0, a1)
@@ -590,10 +677,15 @@ def _conv_chunked(kbufs, src_get, epi, half_ref, full_ref, cp, cpo, wd,
 
 def _rsft_chain_ck(row0, th, wd, cp, hc_real, wc_real, dt, src_get,
                    planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
-                   f1_ref, b1_ref, kbufs, mid, out_write, nck, merge=True):
+                   f1_ref, b1_ref, kbufs, mid, out_write, nck, merge=True,
+                   split=False):
     """Chunked _rsft_chain.  src_get(r1, i0, nr): f32 rows of the block
     input region ((th+4) rows, lane 0 = abs row `row0` - 2) — also the
-    residual source; out_write(py, o0, val) stores out rows [o0, o0+q)."""
+    residual source; out_write(py, o0, val) stores out rows [o0, o0+q).
+
+    split: conv1 reads its unshifted planes straight from `mid` (f1_ref
+    must then be reorder_full_split(f1)); conv0's input (the SFT
+    transform) is not resident, so it always uses the full K-buf path."""
     s0 = sft_ref[0] + 1.0
     h0v = sft_ref[1]
     s1 = sft_ref[2] + 1.0
@@ -638,7 +730,29 @@ def _rsft_chain_ck(row0, th, wd, cp, hc_real, wc_real, dt, src_get,
                       a + b1_ref[pl.ds(py * 2 * cp, 2 * cp)] + resid)
 
     _conv_chunked(kbufs, src1, epi1, h1_ref, f1_ref, cp, cp, wd, th,
-                  nck, wc_real, dt, merge=merge)
+                  nck, wc_real, dt, merge=merge,
+                  src_ref=mid if split else None)
+
+
+def _preshift_sbuf(buf, x32, colp, w_real, dt, cpad):
+    """Split-dot companion of tile_conv._preshift_into: store only the
+    dx=-1/+1 shifted copies ([xm; xp], 2*Cpad rows) — the dx=0 plane is
+    read straight from the resident source by the split upconv dots."""
+    lanes = x32.shape[1]
+    xm = jnp.where(colp > 0, pltpu.roll(x32, 1, axis=1), 0.0)
+    xp = jnp.where(colp < w_real - 1,
+                   pltpu.roll(x32, lanes - 1, axis=1), 0.0)
+    buf[pl.ds(0, cpad), pl.ds(0, lanes)] = xm.astype(dt)
+    buf[pl.ds(cpad, cpad), pl.ds(0, lanes)] = xp.astype(dt)
+
+
+def reorder_wup_split(wup, cpi):
+    """(3, 4*Cp, 3*Cpi) dx-major [xm|x0|xp] upconv lhs -> [xm|xp|x0] so
+    the split dots read the shifted pair from _preshift_sbuf rows
+    [0:2*Cpi] and the unshifted block from the source with one slice."""
+    return jnp.concatenate(
+        [wup[:, :, 0:cpi], wup[:, :, 2 * cpi:3 * cpi],
+         wup[:, :, cpi:2 * cpi]], axis=2)
 
 
 def _copy_slot(xcur, xtile, slot):
@@ -653,12 +767,15 @@ def _copy_slot(xcur, xtile, slot):
         xcur[...] = xtile[1]
 
 
-def _upconv_rsft_kernel_ck(hc_real, wc_real, wd, cpi, cp, th, nck, x_hbm,
-                           wup_ref, bup_ref, h0_ref, f0_ref, b0_ref,
-                           h1_ref, f1_ref, b1_ref, sft_ref, planes_ref,
-                           out_ref, xtile, xcur, shbuf, abuf, kba, kbb,
-                           mid, sem):
-    """Chunked stage kernel A: stride-2 upconv -> sin -> TAT block."""
+def _upconv_rsft_kernel_ck(hc_real, wc_real, wd, cpi, cp, th, nck, split,
+                           x_hbm, wup_ref, bup_ref, h0_ref, f0_ref,
+                           b0_ref, h1_ref, f1_ref, b1_ref, sft_ref,
+                           planes_ref, out_ref, xtile, xcur, shbuf, abuf,
+                           kba, kbb, mid, sem):
+    """Chunked stage kernel A: stride-2 upconv -> sin -> TAT block.
+    split: the dx=0 upconv plane and conv1's unshifted planes read the
+    resident source directly (wup_ref/f1_ref must be the reordered
+    split mats)."""
     nout = out_ref.shape[1]
     dt = out_ref.dtype
     i = pl.program_id(0)
@@ -694,11 +811,25 @@ def _upconv_rsft_kernel_ck(hc_real, wc_real, wd, cpi, cp, th, nck, x_hbm,
             colps[nr] = _col_plane(cpi, nr * wd, wd)
         sh = shbuf.at[ck & 1]
         x32 = xcur[:, pl.ds(i0 * wd, nr * wd)].astype(jnp.float32)
-        _preshift_into(sh, x32, colps[nr], wc_real, dt, cpi)
         acc = jnp.zeros((4 * cp, q * wd), jnp.float32)
-        for dy in range(3):
-            acc = acc + lax.dot(wup_ref[dy], sh[:, pl.ds(dy * wd, q * wd)],
-                                preferred_element_type=jnp.float32)
+        if split:
+            _preshift_sbuf(sh, x32, colps[nr], wc_real, dt, cpi)
+            for dy in range(3):
+                wdy = wup_ref[dy]
+                acc = acc + lax.dot(
+                    lax.slice_in_dim(wdy, 0, 2 * cpi, axis=1),
+                    sh[:, pl.ds(dy * wd, q * wd)],
+                    preferred_element_type=jnp.float32)
+                acc = acc + lax.dot(
+                    lax.slice_in_dim(wdy, 2 * cpi, 3 * cpi, axis=1),
+                    xcur[pl.ds(0, cpi), pl.ds((i0 + dy) * wd, q * wd)],
+                    preferred_element_type=jnp.float32)
+        else:
+            _preshift_into(sh, x32, colps[nr], wc_real, dt, cpi)
+            for dy in range(3):
+                acc = acc + lax.dot(
+                    wup_ref[dy], sh[:, pl.ds(dy * wd, q * wd)],
+                    preferred_element_type=jnp.float32)
         if pend is not None:
             o0, a = pend
             abuf[:, pl.ds(o0 * wd, a.shape[1])] = _sin_poly(
@@ -718,15 +849,19 @@ def _upconv_rsft_kernel_ck(hc_real, wc_real, wd, cpi, cp, th, nck, x_hbm,
 
     _rsft_chain_ck(i * th, th, wd, cp, hc_real, wc_real, dt, src_get,
                    planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
-                   f1_ref, b1_ref, (kba, kbb), mid, out_write, nck)
+                   f1_ref, b1_ref, (kba, kbb), mid, out_write, nck,
+                   split=split)
 
 
-def _conv_rsft_kernel_ck(hc_real, wc_real, wd, cp, th, head, nck, x_hbm,
-                         hc_ref, fc_ref, bc_ref, h0_ref, f0_ref, b0_ref,
-                         h1_ref, f1_ref, b1_ref, hh_ref, fh_ref, bh_ref,
-                         sft_ref, planes_ref, out_ref, xtile, xcur, cbuf,
-                         kba, kbb, mid, rbuf, sem):
-    """Chunked stage kernel B: planar conv -> sin -> TAT [-> head]."""
+def _conv_rsft_kernel_ck(hc_real, wc_real, wd, cp, th, head, nck, split,
+                         x_hbm, hc_ref, fc_ref, bc_ref, h0_ref, f0_ref,
+                         b0_ref, h1_ref, f1_ref, b1_ref, hh_ref, fh_ref,
+                         bh_ref, sft_ref, planes_ref, out_ref, xtile,
+                         xcur, cbuf, kba, kbb, mid, rbuf, sem):
+    """Chunked stage kernel B: planar conv -> sin -> TAT [-> head].
+    split: the pre conv (src xcur), conv1 (src mid) and head (src rbuf)
+    read their unshifted planes straight from the resident source
+    (fc_ref/f1_ref/fh_ref must be the reordered split mats)."""
     dt = out_ref.dtype
     i = pl.program_id(0)
     halo = 4 if head else 3
@@ -763,7 +898,8 @@ def _conv_rsft_kernel_ck(hc_real, wc_real, wd, cp, th, head, nck, x_hbm,
             a1 + bc_ref[pl.ds(2 * cp, 2 * cp)]).astype(dt)
 
     _conv_chunked((kba, kbb), src_pre, epi_pre, hc_ref, fc_ref, cp, cp,
-                  wd, n_c_rows, nck, wc_real, dt, merge=not head)
+                  wd, n_c_rows, nck, wc_real, dt, merge=not head,
+                  src_ref=xcur if split else None)
 
     def src_chain(r1, i0, nr):
         return cbuf[pl.ds(r1 * 2 * cp, 2 * cp),
@@ -777,7 +913,7 @@ def _conv_rsft_kernel_ck(hc_real, wc_real, wd, cp, th, head, nck, x_hbm,
         _rsft_chain_ck(i * th, th, wd, cp, hc_real, wc_real, dt,
                        src_chain, planes_ref, sft_ref, h0_ref, f0_ref,
                        b0_ref, h1_ref, f1_ref, b1_ref, (kba, kbb), mid,
-                       out_write, nck)
+                       out_write, nck, split=split)
         return
 
     thr = th + 2
@@ -793,7 +929,7 @@ def _conv_rsft_kernel_ck(hc_real, wc_real, wd, cp, th, head, nck, x_hbm,
     _rsft_chain_ck(i * th - 1, thr, wd, cp, hc_real, wc_real, dt,
                    src_chain, planes_ref, sft_ref, h0_ref, f0_ref, b0_ref,
                    h1_ref, f1_ref, b1_ref, (kba, kbb), mid, out_write_r,
-                   nck, merge=False)
+                   nck, merge=False, split=split)
 
     def src_head(r1, i0, nr):
         return rbuf[pl.ds(r1 * 2 * cp, 2 * cp),
@@ -807,7 +943,8 @@ def _conv_rsft_kernel_ck(hc_real, wc_real, wd, cp, th, head, nck, x_hbm,
             h1o + bh_ref[pl.ds(32, 32)]).astype(dt)
 
     _conv_chunked((kba, kbb), src_head, epi_head, hh_ref, fh_ref, cp, 16,
-                  wd, th, nck, wc_real, dt, merge=False)
+                  wd, th, nck, wc_real, dt, merge=False,
+                  src_ref=rbuf if split else None)
 
 
 def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, x_hbm, wup_ref,
@@ -857,12 +994,14 @@ def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, x_hbm, wup_ref,
 
 
 def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
-                      interpret=False):
+                      split=False, interpret=False):
     """Stage kernel A wrapper.  x: (C_in, Hc, Wd) interleaved bf16 on the
     coarse grid (Wd a power of two); prep: prepare_upconv_rsft output;
     sft: (4, 4*Cp, 1) planar SFT vectors.  Returns (4*Cp, Hc, Wd) planar
     — the stage's fine (C, 2*Hc, 2*Wc) output.  nck>0 selects the
-    chunked/software-pipelined kernel with nck chunks per conv."""
+    chunked/software-pipelined kernel with nck chunks per conv; split
+    additionally reads unshifted dot planes straight from the resident
+    sources (half the prologue stores; requires nck >= 1)."""
     ci, hc, wd = x.shape
     assert wd & (wd - 1) == 0 and wd >= 128, wd
     cpi = _round16(c_in)
@@ -872,15 +1011,17 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
     xf = jnp.pad(x, ((0, cpi - ci), (3, hp - hc - 3), (0, 0)))
     xf = xf.reshape(cpi, hp * wd)
     planes = _region_planes(2 * cp, th + 4, wd)
+    assert not (split and nck == 0), "split mode requires nck >= 1"
     if nck > 0:
         q_up = _chunk_plan(th + 4, nck)[0][1]
         q_kb = _chunk_plan(th + 2, nck)[0][1]
         fn = functools.partial(_upconv_rsft_kernel_ck, hc, wc_real, wd,
-                               cpi, cp, th, nck)
+                               cpi, cp, th, nck, split)
         scratch = [
             pltpu.VMEM((2, cpi, (th + 6) * wd), x.dtype),
             pltpu.VMEM((cpi, (th + 6) * wd), x.dtype),
-            pltpu.VMEM((2, 3 * cpi, (q_up + 2) * wd), x.dtype),
+            pltpu.VMEM((2, (2 if split else 3) * cpi, (q_up + 2) * wd),
+                       x.dtype),
             # f32: keeps the 'a' region unrounded like the non-chunked
             # kernel (bit-exact parity; bf16 here costs one ulp e2e)
             pltpu.VMEM((4 * cp, (th + 4) * wd), jnp.float32),
@@ -912,8 +1053,9 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(xf, prep["wup"], prep["bup"], prep["h0"], prep["f0"], prep["b0"],
-      prep["h1"], prep["f1"], prep["b1"], sft, planes)
+    )(xf, prep["wup_r" if split else "wup"], prep["bup"], prep["h0"],
+      prep["f0"], prep["b0"], prep["h1"],
+      prep["f1_r" if split else "f1"], prep["b1"], sft, planes)
     return out.reshape(4 * cp, hc, wd)
 
 
@@ -996,12 +1138,13 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, x_hbm, hc_ref,
 
 
 def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
-                    nck=0, interpret=False):
+                    nck=0, split=False, interpret=False):
     """Stage kernel B wrapper.  xp: (4*Cp, Hc, Wd) planar bf16; prep:
     prepare_conv_rsft output; sft: (4, 4*Cp, 1).  Returns (4*Cp, Hc, Wd)
     planar, or with head=True the (64, Hc, Wd) planar RGB (plane p rows
     [16p, 16p+3)).  nck>0 selects the chunked/software-pipelined kernel
-    with nck chunks per conv."""
+    with nck chunks per conv; split additionally reads unshifted dot
+    planes straight from the resident sources (requires nck >= 1)."""
     g, hc, wd = xp.shape
     assert wd & (wd - 1) == 0 and wd >= 128, wd
     cp = g // 4
@@ -1018,10 +1161,11 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
     fh = prep.get("fh", dummy)
     bh = prep.get("bh", jnp.zeros((64, 1), jnp.float32))
     planes = _region_planes(2 * cp, th + 2 * halo - 2, wd)
+    assert not (split and nck == 0), "split mode requires nck >= 1"
     if nck > 0:
         q_kb = _chunk_plan(th + 2 * halo - 2, nck)[0][1]
         fn = functools.partial(_conv_rsft_kernel_ck, hc, wc_real, wd, cp,
-                               th, head, nck)
+                               th, head, nck, split)
         scratch = [
             pltpu.VMEM((2, 4 * cp, (th + 2 * halo) * wd), xp.dtype),
             pltpu.VMEM((4 * cp, (th + 2 * halo) * wd), xp.dtype),
@@ -1056,9 +1200,10 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(xf, prep["hc"], prep["fc"], prep["bc"], prep["h0"], prep["f0"],
-      prep["b0"], prep["h1"], prep["f1"], prep["b1"], hh, fh, bh, sft,
-      planes)
+    )(xf, prep["hc"], prep["fc_r" if split else "fc"], prep["bc"],
+      prep["h0"], prep["f0"], prep["b0"], prep["h1"],
+      prep["f1_r" if split else "f1"], prep["b1"], hh,
+      (prep.get("fh_r", dummy) if split else fh), bh, sft, planes)
     return out.reshape(gout, hc, wd)
 
 

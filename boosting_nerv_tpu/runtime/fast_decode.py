@@ -333,8 +333,9 @@ def build_serving_decode(cfg: BoostConfig, params) -> Callable:
     inside the full decode program — left out of the default policy.
 
     Env overrides for measurement sessions (JSON dicts/ints, same
-    semantics as the th/nck kwargs; string keys like "A540" or "270"
-    are accepted): BNT_DECODE_TH, BNT_DECODE_NCK."""
+    semantics as the th/nck/split kwargs; string keys like "A540" or
+    "270" are accepted): BNT_DECODE_TH, BNT_DECODE_NCK,
+    BNT_DECODE_SPLIT."""
     import json as _json
     import os as _os
 
@@ -352,7 +353,8 @@ def build_serving_decode(cfg: BoostConfig, params) -> Callable:
         return build_fast_decode_v5(
             cfg, params, planar_from_h=200,
             th=_policy("BNT_DECODE_TH", {270: 16}),
-            nck=_policy("BNT_DECODE_NCK", 0))
+            nck=_policy("BNT_DECODE_NCK", 0),
+            split=_policy("BNT_DECODE_SPLIT", 0))
     except ValueError:
         return build_fast_decode_v3(cfg, params, tile_from_h=45,
                                     mode="dy3")
@@ -462,6 +464,7 @@ def build_fast_decode(cfg: BoostConfig, params,
 def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                          th: int | dict = 8, fine_from_h: int = 10 ** 9,
                          head_th: int = 24, nck: int | dict = 0,
+                         split: int | dict = 0,
                          interpret: bool = False) -> Callable:
     """v5: fused-stage subpixel-planar tail (ops/pallas/planar).
 
@@ -556,6 +559,11 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     nck_of = ((lambda kind, hc: nck) if isinstance(nck, int)
               else (lambda kind, hc: nck.get(f"{kind}{hc}",
                                              nck.get(hc, 0))))
+    # split-dot (source-direct unshifted planes) policy; requires the
+    # stage's nck >= 1 (asserted by the kernel wrappers)
+    split_of = ((lambda kind, hc: bool(split)) if isinstance(split, int)
+                else (lambda kind, hc: bool(split.get(f"{kind}{hc}",
+                                                      split.get(hc, 0)))))
 
     def _pow2(v):
         w = 128
@@ -660,6 +668,7 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                     chw, preps[off], sft, c_in=spec.ngf, c=c, wc_real=wc,
                     th=th_of("A", out_hw[bi][0] // 2),
                     nck=nck_of("A", out_hw[bi][0] // 2),
+                    split=split_of("A", out_hw[bi][0] // 2),
                     interpret=interpret)
             else:
                 is_last_head = head_fused and bi == len(plan) - 1
@@ -667,6 +676,7 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                     planar, preps[off], sft, c=c, wc_real=wc,
                     head=is_last_head, th=th_of("B", out_hw[bi][0] // 2),
                     nck=nck_of("B", out_hw[bi][0] // 2),
+                    split=split_of("B", out_hw[bi][0] // 2),
                     interpret=interpret)
 
         if fine_at < len(plan):

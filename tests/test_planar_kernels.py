@@ -228,6 +228,10 @@ class TestFusedStageKernels:
         got = fused_upconv_rsft(x, prep_a, sft, c_in=c_in, c=c, wc_real=wc,
                                 th=4, nck=nck, interpret=True)
         self._assert_ck_parity(got, ref)
+        got_s = fused_upconv_rsft(x, prep_a, sft, c_in=c_in, c=c,
+                                  wc_real=wc, th=4, nck=nck, split=True,
+                                  interpret=True)
+        self._assert_ck_parity(got_s, ref)
 
         xp = self._rand(4 * 16, hc, wd).astype(jnp.bfloat16)
         for head in (False, True):
@@ -242,6 +246,10 @@ class TestFusedStageKernels:
             got = fused_conv_rsft(xp, prep_b, sft, c=c, wc_real=wc,
                                   head=head, th=4, nck=nck, interpret=True)
             self._assert_ck_parity(got, ref)
+            got_s = fused_conv_rsft(xp, prep_b, sft, c=c, wc_real=wc,
+                                    head=head, th=4, nck=nck, split=True,
+                                    interpret=True)
+            self._assert_ck_parity(got_s, ref)
 
 
 class TestFastDecodeV5:
@@ -276,6 +284,13 @@ class TestFastDecodeV5:
         out_ck = dec_ck(embed, t)
         err_ck = float(jnp.abs(out_ck.astype(jnp.float32) - ref).max())
         assert err_ck < 0.02, err_ck
+
+        # split-dot variant end-to-end
+        dec_sp = build_fast_decode_v5(cfg, params, planar_from_h=1, th=4,
+                                      nck=2, split=1, interpret=True)
+        out_sp = dec_sp(embed, t)
+        err_sp = float(jnp.abs(out_sp.astype(jnp.float32) - ref).max())
+        assert err_sp < 0.02, err_sp
 
 
 class TestFastDecodeV5NeRVBoost:

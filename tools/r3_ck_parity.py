@@ -16,10 +16,15 @@ def r(*shape, s=0.2):
 
 
 def check(tag, ref, got):
-    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
-                                - got.astype(jnp.float32))))
-    print(f"{tag:40s} maxerr = {err:.2e}", flush=True)
-    assert err == 0.0, (tag, err)
+    d = jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))
+    err = float(jnp.max(d))
+    nbad = int((d > 0).sum())
+    print(f"{tag:44s} maxerr = {err:.2e} nbad = {nbad}", flush=True)
+    # rare 1-ulp bf16 tie flips allowed (XLA-CPU dot summation order
+    # varies with the dot's N/K split); indexing bugs are O(1) errors
+    tol = jnp.maximum(jnp.abs(ref.astype(jnp.float32)),
+                      jnp.abs(got.astype(jnp.float32))) * 2.0 ** -7 + 1e-30
+    assert nbad <= 8 and bool((d <= tol).all()), (tag, err, nbad)
 
 
 def main():
@@ -37,6 +42,11 @@ def main():
                                    wc_real=wc, th=4, nck=nck,
                                    interpret=True)
         check(f"fused_upconv_rsft nck={nck}", ref, got)
+    for nck in (1, 3):
+        got = pk.fused_upconv_rsft(x, prep_a, sft, c_in=c_in, c=c,
+                                   wc_real=wc, th=4, nck=nck, split=True,
+                                   interpret=True)
+        check(f"fused_upconv_rsft nck={nck} split", ref, got)
 
     xp = r(4 * 16, hc, wd).astype(jnp.bfloat16)
     for head in (False, True):
@@ -52,6 +62,12 @@ def main():
                                      head=head, th=4, nck=nck,
                                      interpret=True)
             check(f"fused_conv_rsft head={head} nck={nck}", ref, got)
+        for nck in (1, 3):
+            got = pk.fused_conv_rsft(xp, prep_b, sft, c=c, wc_real=wc,
+                                     head=head, th=4, nck=nck, split=True,
+                                     interpret=True)
+            check(f"fused_conv_rsft head={head} nck={nck} split",
+                  ref, got)
     print("ALL OK", flush=True)
 
 

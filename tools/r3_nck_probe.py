@@ -67,6 +67,12 @@ for th, ncks in ((8, (0, 2, 3, 4, 6)), (12, (0, 3, 4)), (16, (0, 4))):
                                  c=c, wc_real=960, head=True, th=th,
                                  nck=nck),
                xb, tag=f"B+head@540 th={th} nck={nck}")
+for th, ncks in ((8, (1, 3, 4)), (12, (3, 4)), (16, (4,))):
+    for nck in ncks:
+        timeit(functools.partial(pk.fused_conv_rsft, prep=prep_b, sft=sft,
+                                 c=c, wc_real=960, head=True, th=th,
+                                 nck=nck, split=True),
+               xb, tag=f"B+head@540 th={th} nck={nck} split")
 
 # ---- A@540: upconv 61 -> 204 (c=51), wc_real=960 ----
 ci = 61
@@ -81,3 +87,9 @@ for th, ncks in ((8, (0, 2, 3, 4, 6)), (12, (0, 3, 4)), (16, (0, 4))):
                                  sft=sft, c_in=ci, c=c, wc_real=960,
                                  th=th, nck=nck),
                xa, tag=f"A@540 th={th} nck={nck}")
+for th, ncks in ((8, (1, 3, 4)), (12, (3, 4)), (16, (4,))):
+    for nck in ncks:
+        timeit(functools.partial(pk.fused_upconv_rsft, prep=prep_a,
+                                 sft=sft, c_in=ci, c=c, wc_real=960,
+                                 th=th, nck=nck, split=True),
+               xa, tag=f"A@540 th={th} nck={nck} split")

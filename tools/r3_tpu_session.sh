@@ -16,15 +16,15 @@ timeout 4000 python -c "exec(open('tools/r3_nck_probe.py').read())" \
 timeout 2400 python -c "exec(open('tools/r3_prologue_probe.py').read())" \
   --tpu > /tmp/r3_prologue_probe.log 2>&1
 
-# e2e candidates: current default, then chunked at nck=3/4 on the
+# e2e candidates: current default, chunked, and chunked+split on the
 # 540-zone kernels (keys: stage coarse height; "A540"/"B540" variants)
 BNT_TAG=cur timeout 1200 python bench.py > /tmp/bench_nck_cur.log 2>&1
 BNT_DECODE_NCK='{"540": 3}' timeout 1200 python bench.py \
   > /tmp/bench_nck540_3.log 2>&1
-BNT_DECODE_NCK='{"540": 4}' timeout 1200 python bench.py \
-  > /tmp/bench_nck540_4.log 2>&1
-BNT_DECODE_NCK='{"540": 4, "270": 2}' timeout 1200 python bench.py \
-  > /tmp/bench_nck_all.log 2>&1
+BNT_DECODE_NCK='{"540": 3}' BNT_DECODE_SPLIT='{"540": 1}' \
+  timeout 1200 python bench.py > /tmp/bench_split540_3.log 2>&1
+BNT_DECODE_NCK='{"540": 4, "270": 2}' BNT_DECODE_SPLIT=1 \
+  timeout 1200 python bench.py > /tmp/bench_split_all.log 2>&1
 
 sh tools/r3_run_chain3.sh
 

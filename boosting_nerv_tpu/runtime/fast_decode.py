@@ -559,8 +559,9 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     nck_of = ((lambda kind, hc: nck) if isinstance(nck, int)
               else (lambda kind, hc: nck.get(f"{kind}{hc}",
                                              nck.get(hc, 0))))
-    # split-dot (source-direct unshifted planes) policy; requires the
-    # stage's nck >= 1 (asserted by the kernel wrappers)
+    # split-dot (source-direct unshifted planes) policy; effective only
+    # on stages whose nck >= 1 (a global split=1 with a per-stage nck
+    # dict simply leaves the non-chunked stages on the production path)
     split_of = ((lambda kind, hc: bool(split)) if isinstance(split, int)
                 else (lambda kind, hc: bool(split.get(f"{kind}{hc}",
                                                       split.get(hc, 0)))))
@@ -664,19 +665,22 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                     hc, wc = fine.shape[1], fine.shape[2]
                     wd = _pow2(wc)
                     chw = jnp.pad(fine, ((0, 0), (0, 0), (0, wd - wc)))
+                nck_v = nck_of("A", out_hw[bi][0] // 2)
                 planar = pk.fused_upconv_rsft(
                     chw, preps[off], sft, c_in=spec.ngf, c=c, wc_real=wc,
-                    th=th_of("A", out_hw[bi][0] // 2),
-                    nck=nck_of("A", out_hw[bi][0] // 2),
-                    split=split_of("A", out_hw[bi][0] // 2),
+                    th=th_of("A", out_hw[bi][0] // 2), nck=nck_v,
+                    split=(split_of("A", out_hw[bi][0] // 2)
+                           and nck_v >= 1),
                     interpret=interpret)
             else:
                 is_last_head = head_fused and bi == len(plan) - 1
+                nck_v = nck_of("B", out_hw[bi][0] // 2)
                 planar = pk.fused_conv_rsft(
                     planar, preps[off], sft, c=c, wc_real=wc,
                     head=is_last_head, th=th_of("B", out_hw[bi][0] // 2),
-                    nck=nck_of("B", out_hw[bi][0] // 2),
-                    split=split_of("B", out_hw[bi][0] // 2),
+                    nck=nck_v,
+                    split=(split_of("B", out_hw[bi][0] // 2)
+                           and nck_v >= 1),
                     interpret=interpret)
 
         if fine_at < len(plan):

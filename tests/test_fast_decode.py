@@ -102,3 +102,30 @@ class TestServingDecodeWiring:
         from boosting_nerv_tpu.runtime import fast_decode as fd
         src = inspect.getsource(fd.build_serving_decode)
         assert "build_fast_decode" in src
+
+    def test_env_policy_overrides_parse(self, monkeypatch):
+        """BNT_DECODE_TH/NCK/SPLIT JSON env overrides must parse (dict
+        keys may be numeric strings or kind-tagged like "A540") and the
+        builder must still produce a callable."""
+        import jax
+        import jax.numpy as jnp
+
+        from boosting_nerv_tpu.config import BoostConfig
+        from boosting_nerv_tpu.models import build_model
+        from boosting_nerv_tpu.runtime.fast_decode import (
+            build_serving_decode)
+
+        monkeypatch.setenv("BNT_DECODE_TH", '{"270": 16, "A540": 12}')
+        monkeypatch.setenv("BNT_DECODE_NCK", '{"540": 4}')
+        monkeypatch.setenv("BNT_DECODE_SPLIT", "1")
+        cfg = BoostConfig(
+            model="HNeRV_Boost", embed="pe_1.25_20", fc_dim=12,
+            dec_strds=[2, 2], dec_blks=[1, 2], ks="0_1_5",
+            conv_type=["convnext", "pshuffel_3x3"], act="sin",
+            norm="none", sft_block="res_sft", ch_t=8, reduce=1.2,
+            lower_width=4, enc_strds=[2, 2], enc_dim="8_4")
+        model = build_model(cfg)
+        img = jnp.zeros((1, 16, 16, 3), jnp.float32)
+        t = jnp.array([0.4])
+        params = model.init(jax.random.key(0), img, t)
+        assert callable(build_serving_decode(cfg, params))

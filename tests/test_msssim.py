@@ -67,6 +67,70 @@ def _pair(h, w, seed=0):
     return a, b
 
 
+# --------------------------------------------------------------------- #
+# Third, mechanism-independent implementation: float64 NumPy with the
+# blur as an explicit 2D sliding-window tensordot against the full 11x11
+# outer-product window (no separable conv, no conv library at all).
+# Triangulating three independently-written implementations (JAX NHWC
+# separable conv / torch NCHW grouped conv / NumPy sliding windows)
+# addresses the "self-refereed" concern for the MS-SSIM parity claim —
+# the environment has no pytorch_msssim and no egress (PARITY.md).
+# --------------------------------------------------------------------- #
+
+
+def _np_blur2d(img, win2d):
+    """img: [H, W] float64 -> VALID 2D correlation with win2d [11, 11]."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(img, win2d.shape)  # [H-10, W-10, 11, 11]
+    return np.tensordot(wins, win2d, axes=([2, 3], [0, 1]))
+
+
+def _np_ssim_cs(x, y, data_range=1.0, k=(0.01, 0.03)):
+    """x, y: [H, W] float64; returns (mean ssim, mean cs) over the map."""
+    g = np.asarray(_win().double())
+    w2 = np.outer(g, g)
+    c1, c2 = (k[0] * data_range) ** 2, (k[1] * data_range) ** 2
+    mu1, mu2 = _np_blur2d(x, w2), _np_blur2d(y, w2)
+    s1 = _np_blur2d(x * x, w2) - mu1 * mu1
+    s2 = _np_blur2d(y * y, w2) - mu2 * mu2
+    s12 = _np_blur2d(x * y, w2) - mu1 * mu2
+    cs = (2 * s12 + c2) / (s1 + s2 + c2)
+    sm = ((2 * mu1 * mu2 + c1) / (mu1 ** 2 + mu2 ** 2 + c1)) * cs
+    return sm.mean(), cs.mean()
+
+
+def _np_pool2(x):
+    h, w = x.shape
+    if h % 2 or w % 2:
+        # zero-pad both sides (count_include_pad), floor mode drops the
+        # trailing padded row/col — matching torch avg_pool2d and the JAX
+        # reduce_window VALID semantics
+        x = np.pad(x, ((h % 2, h % 2), (w % 2, w % 2)))
+        h, w = x.shape
+    x = x[:2 * (h // 2), :2 * (w // 2)]
+    return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+
+def _np_msssim_1ch(x, y):
+    vals = []
+    for i in range(5):
+        sm, cs = _np_ssim_cs(x, y)
+        vals.append(max(sm, 0.0) if i == 4 else max(cs, 0.0))
+        if i < 4:
+            x, y = _np_pool2(x), _np_pool2(y)
+    return float(np.prod([v ** w for v, w in zip(vals, WEIGHTS)]))
+
+
+def _np_msssim(a, b):
+    """a, b: [B, H, W, C] float -> [B] (channel-mean, like the others)."""
+    return np.array([
+        np.mean([_np_msssim_1ch(a[n, :, :, c].astype(np.float64),
+                                b[n, :, :, c].astype(np.float64))
+                 for c in range(a.shape[-1])])
+        for n in range(a.shape[0])])
+
+
 class TestSSIM:
     def test_identity(self):
         a, _ = _pair(64, 64)
@@ -94,6 +158,20 @@ class TestMSSSIM:
         tb = torch.from_numpy(b).permute(0, 3, 1, 2)
         ref = _msssim_torch(ta, tb).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("h,w", [(176, 192), (167, 191)])
+    def test_three_way_triangulation(self, h, w):
+        """JAX vs torch vs mechanism-independent float64 NumPy: all three
+        must agree, so no single transcription error can self-confirm."""
+        a, b = _pair(h, w, seed=7)
+        ours = np.asarray(ms_ssim(jnp.asarray(a), jnp.asarray(b),
+                                  size_average=False))
+        ta = torch.from_numpy(a).permute(0, 3, 1, 2)
+        tb = torch.from_numpy(b).permute(0, 3, 1, 2)
+        tref = _msssim_torch(ta, tb).numpy()
+        nref = _np_msssim(a, b)
+        np.testing.assert_allclose(ours, nref, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(tref, nref, rtol=2e-5, atol=2e-5)
 
     def test_rejects_small_frames(self):
         # parity with pytorch_msssim's assert: the 4 downsamplings need

@@ -1,0 +1,76 @@
+"""Deviceless Mosaic compile check of the v5 decode at the UVG-1080p
+bench config — no TPU needed.
+
+Discovery (round 3, while the axon tunnel was down): the image ships
+libtpu, and `jax.experimental.topologies.get_topology_desc` with
+TPU_ACCELERATOR_TYPE=v5litepod-4 / TPU_WORKER_HOSTNAMES=localhost gives
+a deviceless v5e target that runs the FULL XLA:TPU + Mosaic backend at
+`lowered.compile()`.  Scoped-VMEM overflows (the th=12/16 blocker, see
+CLAUDE.md) are compile-time errors, so per-policy feasibility of the
+whole decode program is decidable offline; only timings need hardware.
+
+Run from /root/repo:
+  env -u PYTHONPATH JAX_PLATFORMS=cpu TPU_ACCELERATOR_TYPE=v5litepod-4 \
+    TPU_WORKER_HOSTNAMES=localhost TPU_WORKER_ID=0 \
+    python -c "exec(open('tools/aot_compile_check.py').read())"
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import topologies
+from jax.sharding import SingleDeviceSharding
+
+from boosting_nerv_tpu.config import BoostConfig, resolve_sizes
+from boosting_nerv_tpu.models import build_model
+from boosting_nerv_tpu.runtime.fast_decode import build_fast_decode_v5
+
+topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x2")
+DEV = topo.devices[0]
+print("deviceless target:", DEV, flush=True)
+
+cfg = BoostConfig(
+    model="HNeRV_Boost", embed="pe_1.25_80", enc_strds=[5, 3, 2, 2, 2],
+    enc_dim="64_16", dec_strds=[5, 3, 2, 2, 2], dec_blks=[1, 1, 2, 2, 2],
+    ks="0_1_5", reduce=1.2, lower_width=12, modelsize=2.8,
+    conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+    sft_block="res_sft", ch_t=32, crop_list="1080_1920")
+cfg = resolve_sizes(cfg, final_size=1920 * 1080, full_data_length=120)
+
+model = build_model(cfg)
+img = jnp.zeros((1, 1080, 1920, 3), jnp.float32)
+t = jnp.asarray([0.5], jnp.float32)
+params = model.init(jax.random.key(0), img, t)
+embed = jax.jit(lambda p, i: model.apply(p, i, method="encode"))(params, img)
+print("model built", flush=True)
+
+shd = SingleDeviceSharding(DEV)
+espec = jax.ShapeDtypeStruct(embed.shape, embed.dtype, sharding=shd)
+tspec = jax.ShapeDtypeStruct(t.shape, t.dtype, sharding=shd)
+
+POLICIES = [
+    ("default th270_16", dict(th={270: 16})),
+    ("nck3@540", dict(th={270: 16}, nck={540: 3})),
+    ("nck3@540 split", dict(th={270: 16}, nck={540: 3}, split=1)),
+    ("nck4 split all", dict(th={270: 16}, nck={540: 4, 270: 2, 135: 2},
+                            split=1)),
+    ("th A540_12 nck3 split", dict(th={270: 16, "A540": 12},
+                                   nck={540: 3}, split=1)),
+    ("th540_12 nck3 split", dict(th={270: 16, 540: 12}, nck={540: 3},
+                                 split=1)),
+    ("th540_16 nck4 split", dict(th={270: 16, 540: 16}, nck={540: 4},
+                                 split=1)),
+    ("th540_12 nck3 nosplit", dict(th={270: 16, 540: 12}, nck={540: 3})),
+]
+
+for tag, kw in POLICIES:
+    t0 = time.perf_counter()
+    try:
+        dec = build_fast_decode_v5(cfg, params, planar_from_h=200, **kw)
+        compiled = jax.jit(dec).trace(espec, tspec).lower().compile()
+        mem = compiled.memory_analysis()
+        print(f"{tag:28s} COMPILE OK  temp={mem.temp_size_in_bytes/2**20:.0f}M"
+              f"  ({time.perf_counter()-t0:.0f}s)", flush=True)
+    except Exception as e:
+        msg = str(e).replace("\n", " ")[:160]
+        print(f"{tag:28s} FAIL {type(e).__name__}: {msg}", flush=True)

@@ -137,6 +137,15 @@ class BoostConfig:
     # trades ~30% step time for activation memory, enabling 1080p training
     # and larger frame batches on a single chip
     remat: bool = False
+    # subpixel-planar training forward (training/planar_forward.py):
+    # decoder stages whose FINE output height reaches this threshold run
+    # in planar layout ([B,H,W,4C] on the coarse grid), shrinking the
+    # XLA lane-padding of narrow-channel activations (35 -> 128 lanes,
+    # 3.66x) to 1.3-1.8x and quartering the padded spatial area — the
+    # measured cause of the b>=2 OOM at 720p+. 0 = off. Numerically
+    # equivalent to the standard forward (tests/test_planar_forward.py);
+    # falls back silently for ineligible model/config combinations.
+    planar_train: int = 0
 
     # ---- derived helpers -------------------------------------------------
     @property

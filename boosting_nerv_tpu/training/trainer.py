@@ -120,6 +120,18 @@ class RegressionTrainer:
         self.model = build_model(cfg)
         self.mesh: MeshPlan = make_mesh_plan(cfg.dp, cfg.sp)
 
+        # optional memory-saving planar-layout training forward (see
+        # config.planar_train); numerically equivalent, so it also serves
+        # eval_step. Ineligible configs fall back to the standard path.
+        self._planar_fwd = None
+        if cfg.planar_train:
+            from .planar_forward import build_planar_forward
+            try:
+                self._planar_fwd = build_planar_forward(
+                    cfg, self.model, cfg.planar_train)
+            except ValueError as e:
+                print(f"planar_train disabled: {e}")
+
         # Resident dataset: on a single device, park the whole video in HBM
         # as uint8 once and gather+normalise per step INSIDE jit. Streaming
         # each frame host->device per step costs more than the step itself
@@ -177,6 +189,8 @@ class RegressionTrainer:
     # ------------------------------------------------------------------ #
     def _forward(self, params, img, t):
         cfg = self.cfg
+        if self._planar_fwd is not None:
+            return self._planar_fwd(params, img, t)
         if cfg.model == "HNeRV_Boost":
             return self.model.apply(params, img, t)
         if cfg.model == "HNeRV":

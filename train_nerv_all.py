@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--train_precision', type=str, default='highest',
                    choices=['highest', 'high', 'default'],
                    help='matmul precision for training (see config.py)')
+    p.add_argument('--planar_train', type=int, default=0,
+                   help='run decoder stages with fine output height >= '
+                        'this in subpixel-planar layout during training '
+                        '(memory-saving at >=720p; 0 = off)')
     # Logging / output
     p.add_argument('--debug', action='store_true')
     p.add_argument('-p', '--print-freq', default=50, type=int)
@@ -155,6 +159,7 @@ def args_to_config(args):
         dp=dp, sp=args.sp, profile=args.profile, remat=args.remat,
         micro_batch=args.micro_batch,
         train_precision=args.train_precision,
+        planar_train=args.planar_train,
     )
     return cfg
 

@@ -178,8 +178,11 @@ class CompressionTrainer(RegressionTrainer):
                     else:
                         bit_embed = 0.0
                     if cfg.model == "HNeRV_Boost":
-                        out = self.model.apply(dq_params, dequant_e, t,
-                                               method="decode")
+                        if self._planar_dec is not None:
+                            out = self._planar_dec(dq_params, dequant_e, t)
+                        else:
+                            out = self.model.apply(dq_params, dequant_e, t,
+                                                   method="decode")
                     else:
                         out = self.model.apply(dq_params, dequant_e,
                                                method="decode")

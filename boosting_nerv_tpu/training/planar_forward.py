@@ -39,10 +39,12 @@ equivalence against the flax model.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..config import BoostConfig, decoder_stage_plan, model_expansion
@@ -62,29 +64,37 @@ def from_planar_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     return depth_to_space(x, 2)
 
 
-def planar_kernel(k: jnp.ndarray) -> jnp.ndarray:
-    """Fine-grid HWIO (kh, kw, Cin, Cout), kh/kw in {1, 3} -> planar
-    (2, 2, 4*Cin, 4*Cout) HWIO kernel for a 2x2-window conv over the
-    1-padded planar input.  Output channel (2*py+px)*Cout + co is the
-    fine conv at subpixel (py, px); its 2x2 window base is
-    (y-1+py, x-1+px), so kernel row a = u+1-py (in {0, 1}).  Pure
-    gather/scatter of `k` — differentiable."""
-    kh, kw, cin, cout = k.shape
-    assert kh in (1, 3) and kw in (1, 3), (kh, kw)
-    kp = jnp.zeros((2, 2, 4 * cin, 4 * cout), k.dtype)
+@functools.lru_cache(maxsize=None)
+def _placement(kh: int, kw: int) -> np.ndarray:
+    """Constant 0/1 tap-placement tensor S[iy, ix, a, b, rin, q]: fine tap
+    (iy, ix) of output subpixel q = 2*py+px lands at planar-kernel window
+    position (a, b) reading input plane rin = 2*r1+r2, where
+    u, r1 = divmod(py + iy - kh//2, 2) and a = u+1-py (same for cols)."""
+    s = np.zeros((kh, kw, 2, 2, 4, 4), np.float32)
     for py in (0, 1):
         for px in (0, 1):
             q = 2 * py + px
             for iy in range(kh):
                 u, r1 = divmod(py + iy - kh // 2, 2)
-                a = u + 1 - py
                 for ix in range(kw):
                     v, r2 = divmod(px + ix - kw // 2, 2)
-                    b = v + 1 - px
-                    rin = 2 * r1 + r2
-                    kp = kp.at[a, b, rin * cin:(rin + 1) * cin,
-                               q * cout:(q + 1) * cout].add(k[iy, ix])
-    return kp
+                    s[iy, ix, u + 1 - py, v + 1 - px, 2 * r1 + r2, q] = 1.0
+    return s
+
+
+def planar_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """Fine-grid HWIO (kh, kw, Cin, Cout), kh/kw in {1, 3} -> planar
+    (2, 2, 4*Cin, 4*Cout) HWIO kernel for a 2x2-window conv over the
+    1-padded planar input.  Output channel (2*py+px)*Cout + co is the
+    fine conv at subpixel (py, px); its 2x2 window base is
+    (y-1+py, x-1+px), so kernel row a = u+1-py (in {0, 1}).  One einsum
+    against a constant placement tensor — differentiable, scatter-free
+    (a .at[].add formulation compiled pathologically slowly)."""
+    kh, kw, cin, cout = k.shape
+    assert kh in (1, 3) and kw in (1, 3), (kh, kw)
+    s = jnp.asarray(_placement(kh, kw), k.dtype)
+    kp = jnp.einsum("yxio,yxabrq->abriqo", k, s)
+    return kp.reshape(2, 2, 4 * cin, 4 * cout)
 
 
 def planar_conv(xp: jnp.ndarray, k: jnp.ndarray,
@@ -150,15 +160,19 @@ def _conv_nhwc(p, x, pad):
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["bias"]
 
 
-def build_planar_forward(cfg: BoostConfig, model,
-                         planar_from_h: int) -> Callable:
+def build_planar_forward(cfg: BoostConfig, model, planar_from_h: int,
+                         decode_only: bool = False) -> Callable:
     """Returns fwd(params, img, t) -> [B, H, W, 3], numerically
     equivalent to the model's training forward, with every stride-2 3x3
     decoder stage from the first whose FINE output height reaches
     `planar_from_h` computed in planar layout.  The prefix (encoder /
     trunk, stem, early stages) runs through flax `apply` so its
     numerics are byte-identical to the standard path.  Raises
-    ValueError for ineligible configs (caller falls back)."""
+    ValueError for ineligible configs (caller falls back).
+
+    With `decode_only` (HNeRV_Boost) the first argument is the embedding
+    instead of the frame — the CEM trainer's decode-after-embedding-
+    quantisation path (compress_trainer.py)."""
     if cfg.model not in ("HNeRV_Boost", "NeRV_Boost", "ENeRV_Boost"):
         raise ValueError(f"planar training forward: unsupported model "
                          f"{cfg.model}")
@@ -198,7 +212,7 @@ def build_planar_forward(cfg: BoostConfig, model,
 
     if cfg.model == "HNeRV_Boost":
         def _prefix(m, img, t):
-            embed = m.encoder(img)
+            embed = img if decode_only else m.encoder(img)
             t_embed = m.stem_t(position_encoding(t, m.pe))
             x = m.stem(embed, t_embed)
             for blk in m.blocks[:switch_at]:

@@ -124,11 +124,15 @@ class RegressionTrainer:
         # config.planar_train); numerically equivalent, so it also serves
         # eval_step. Ineligible configs fall back to the standard path.
         self._planar_fwd = None
+        self._planar_dec = None  # decode-from-embedding (CEM trainer)
         if cfg.planar_train:
             from .planar_forward import build_planar_forward
             try:
                 self._planar_fwd = build_planar_forward(
                     cfg, self.model, cfg.planar_train)
+                if cfg.model == "HNeRV_Boost":
+                    self._planar_dec = build_planar_forward(
+                        cfg, self.model, cfg.planar_train, decode_only=True)
             except ValueError as e:
                 print(f"planar_train disabled: {e}")
 

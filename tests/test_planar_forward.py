@@ -100,6 +100,58 @@ def test_gradient_equivalence():
                                rtol=1e-3, atol=1e-5)
 
 
+def test_decode_only_equivalence():
+    cfg = tiny_cfg("HNeRV_Boost")
+    cfg = resolve_sizes(cfg, final_size=8 * 16, full_data_length=4)
+    m = build_model(cfg)
+    t = jnp.array([0.25, 0.75])
+    img = jax.random.uniform(jax.random.PRNGKey(7), (2, 8, 16, 3))
+    params = m.init(jax.random.key(0), img[:1], t[:1])
+    embed = m.apply(params, img, method="encode")
+    want = m.apply(params, embed, t, method="decode")
+    dec = build_planar_forward(cfg, m, planar_from_h=8, decode_only=True)
+    got = dec(params, embed, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_cem_trainer_planar(tmp_path):
+    """CEM quant-aware finetune with the planar decode path engaged."""
+    import os
+
+    from boosting_nerv_tpu.data import VideoData, synthetic_video
+    from boosting_nerv_tpu.training.compress_trainer import CompressionTrainer
+    from boosting_nerv_tpu.training.trainer import RegressionTrainer
+    from boosting_nerv_tpu.utils.logger import RunLogger
+
+    base = dict(
+        model="HNeRV_Boost", embed="pe_1.25_8", fc_hw="2_4", fc_dim=12,
+        dec_strds=[2, 2], dec_blks=[1, 2], ks="0_1_5",
+        conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+        sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4,
+        enc_strds=[2, 2], enc_dim="8_4", enc_blks=1,
+        batchSize=2, loss="L2", eval_freq=1000, optim_type="Adan")
+    reg_cfg = BoostConfig(**base, epochs=30, lr=5e-3, not_resume=True,
+                          outf=os.path.join(str(tmp_path), "reg"))
+    comp_cfg = BoostConfig(
+        **base, epochs=8, lr=5e-4, lr_type="cosine_0_1_0.1",
+        outf=os.path.join(str(tmp_path), "comp"), not_resume=True,
+        quant=True, quant_model_bit=8, quant_bias_bit=8, quant_embed_bit=8,
+        quantizer_w="scale", quantizer_b="scale", quantizer_e="scalebeta",
+        lambda_rate=0.05, target_bit=4, planar_train=8,
+        weight=os.path.join(str(tmp_path), "reg", "model_latest.ckpt"))
+    video = VideoData(synthetic_video(4, 8, 16))
+    rt = RegressionTrainer(reg_cfg, video=video,
+                           logger=RunLogger(reg_cfg.outf, enable_tb=False))
+    rt.train()
+    ct = CompressionTrainer(comp_cfg, video=video,
+                            logger=RunLogger(comp_cfg.outf, enable_tb=False))
+    assert ct._planar_dec is not None
+    ct.train()
+    res = ct.evaluate_cem()
+    assert res["quant_seen_psnr"] > 12.0, res
+
+
 class TestTrainerIntegration:
     def _train(self, tmp_path, **kw):
         import os

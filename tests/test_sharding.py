@@ -67,6 +67,52 @@ class TestDataParallelEquivalence:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
 
+    def test_planar_forward_dp_sp_grads_match_unsharded(self, tmp_path):
+        """The subpixel-planar training forward under a dp=2 x sp=2 mesh:
+        raw gradients must match the unsharded planar step (GSPMD halo
+        exchange on the 2x2 coarse-grid convs + psum over 'data').  Tiny
+        shapes — its compile at flagship shapes is too slow for the
+        dryrun gate (tools/planar_compile_diag.py)."""
+        import os
+
+        from boosting_nerv_tpu.config import BoostConfig
+        from boosting_nerv_tpu.data import VideoData, synthetic_video
+        from boosting_nerv_tpu.ops.losses import loss_fn
+        from boosting_nerv_tpu.training.trainer import RegressionTrainer
+        from boosting_nerv_tpu.utils.logger import RunLogger
+
+        frames = synthetic_video(4, 16, 16)
+        base = dict(
+            model="NeRV_Boost", embed="pe_1.25_20", fc_hw="4_4", fc_dim=12,
+            dec_strds=[2, 2], dec_blks=[1, 2], ks="0_1_5",
+            conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+            sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4,
+            enc_strds=[2, 2], enc_dim="8_4",
+            epochs=1, batchSize=4, lr=1e-3, loss="L2", eval_freq=1000,
+            not_resume=True, planar_train=8)
+
+        grads = {}
+        for dp, sp in ((1, 1), (2, 2)):
+            cfg = BoostConfig(**base, dp=dp, sp=sp,
+                              outf=os.path.join(str(tmp_path),
+                                                f"pl{dp}{sp}"))
+            video = VideoData(frames)
+            tr = RegressionTrainer(cfg, video=video,
+                                   logger=RunLogger(cfg.outf,
+                                                    enable_tb=False))
+            assert tr._planar_fwd is not None
+            batch = video.get_batch(list(range(4)))
+            img, t = tr._device_batch(batch)
+            g = jax.jit(jax.grad(
+                lambda p: loss_fn(tr._forward(p, img, t), img,
+                                  cfg.loss)))(tr.params)
+            grads[(dp, sp)] = jax.device_get(g)
+
+        for a, b in zip(jax.tree_util.tree_leaves(grads[(1, 1)]),
+                        jax.tree_util.tree_leaves(grads[(2, 2)])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
 
 class TestSpatialSharding:
     def test_decode_with_spatial_sharding_matches(self):

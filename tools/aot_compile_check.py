@@ -63,6 +63,15 @@ POLICIES = [
     ("th540_12 nck3 nosplit", dict(th={270: 16, 540: 12}, nck={540: 3})),
 ]
 
+import os
+
+_only = os.environ.get("BNT_AOT_ONLY")  # substring filter, comma-separated
+if _only:
+    keys = [s.strip() for s in _only.split(",")]
+    POLICIES = [(t, k) for t, k in POLICIES
+                if any(s in t for s in keys)]
+    print("filtered policies:", [t for t, _ in POLICIES], flush=True)
+
 for tag, kw in POLICIES:
     t0 = time.perf_counter()
     try:

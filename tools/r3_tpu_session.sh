@@ -26,6 +26,11 @@ BNT_DECODE_NCK='{"540": 3}' BNT_DECODE_SPLIT='{"540": 1}' \
 BNT_DECODE_NCK='{"540": 4, "270": 2}' BNT_DECODE_SPLIT=1 \
   timeout 1200 python bench.py > /tmp/bench_split_all.log 2>&1
 
+# planar training forward: b>=2 720p step times vs the b=1 standard path
+# (memory fit proven offline by tools/aot_train_mem_check.py)
+timeout 4000 python -c "exec(open('tools/planar_train_probe.py').read())" \
+  > /tmp/planar_train_probe.log 2>&1
+
 sh tools/r3_run_chain3.sh
 
 echo "TPU SESSION DONE" > /tmp/r3_tpu_session_done

@@ -326,11 +326,15 @@ def build_serving_decode(cfg: BoostConfig, params) -> Callable:
     configs outside the supported Boost paper shapes.
 
     v5 fused-planar when the config has a stride-2 3x3 tail (measured
-    31.5 fps UVG-1080p with the {270: 16} tile-height policy vs 22.2 for
-    v3, maxerr 2.6e-3 vs flax; tools/v5_probe.py, tools/r3_perf_probe.py);
-    v3 dy3 otherwise.  "A540": 12 measures 8.82 vs 9.39 ms in isolation
-    (tools/r3_probe2.py) but exceeds the scoped-VMEM cap when compiled
-    inside the full decode program — left out of the default policy.
+    32.5 fps UVG-1080p with the default policy below vs 22.2 for v3,
+    maxerr 2.6e-3 vs flax; tools/v5_probe.py, tools/r3_nck_probe.py);
+    v3 dy3 otherwise.  Default policy (hardware-measured 2026-08-19):
+    th=12 beats th=8 on both 540-grid stage kernels but OOMs scoped VMEM
+    un-chunked; nck=3 chunking shrinks the K-buffers enough that the
+    taller tile fits (chunking pays ONLY via the tile it unlocks — at
+    th=8 it is strictly slower).  {270: 16} unchunked for the 270 grid.
+    Bench trajectory: {270:16} 31.1 -> +B540:12/nck3 31.95 ->
+    +A540:12/nck3 32.52 fps.
 
     Env overrides for measurement sessions (JSON dicts/ints, same
     semantics as the th/nck/split kwargs; string keys like "A540" or
@@ -352,8 +356,9 @@ def build_serving_decode(cfg: BoostConfig, params) -> Callable:
     try:
         return build_fast_decode_v5(
             cfg, params, planar_from_h=200,
-            th=_policy("BNT_DECODE_TH", {270: 16}),
-            nck=_policy("BNT_DECODE_NCK", 0),
+            th=_policy("BNT_DECODE_TH", {270: 16, "A540": 12,
+                                         "B540": 12}),
+            nck=_policy("BNT_DECODE_NCK", {"A540": 3, "B540": 3}),
             split=_policy("BNT_DECODE_SPLIT", 0))
     except ValueError:
         return build_fast_decode_v3(cfg, params, tile_from_h=45,

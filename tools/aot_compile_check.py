@@ -61,6 +61,17 @@ POLICIES = [
     ("th540_16 nck4 split", dict(th={270: 16, 540: 16}, nck={540: 4},
                                  split=1)),
     ("th540_12 nck3 nosplit", dict(th={270: 16, 540: 12}, nck={540: 3})),
+    # round-3b frontier: can deeper chunks unlock th=16+ at 540, or
+    # taller 270 tiles?  (feasibility only; time the survivors on hw)
+    ("th540_16 nck6", dict(th={270: 16, 540: 16}, nck={540: 6})),
+    ("th540_16 nck8", dict(th={270: 16, 540: 16}, nck={540: 8})),
+    ("thA540_16 nck4 B12nck3", dict(th={270: 16, "A540": 16, "B540": 12},
+                                    nck={"A540": 4, "B540": 3})),
+    ("th540_12 nck4 split", dict(th={270: 16, 540: 12}, nck={540: 4},
+                                 split=1)),
+    ("th540_20 nck5", dict(th={270: 16, 540: 20}, nck={540: 5})),
+    ("th270_24 540_12nck3", dict(th={270: 24, 540: 12}, nck={540: 3})),
+    ("th270_32 540_12nck3", dict(th={270: 32, 540: 12}, nck={540: 3})),
 ]
 
 import os

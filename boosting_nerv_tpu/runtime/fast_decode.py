@@ -353,12 +353,24 @@ def build_serving_decode(cfg: BoostConfig, params) -> Callable:
                  for k, x in v.items()}
         return v
 
+    # The aggressive th/nck defaults are hardware-verified ONLY at the
+    # UVG-1080p bench shape (crop 1080_1920, fc_dim 127 channel plan) —
+    # scoped-VMEM fit depends on both the stage widths and the channel
+    # counts, and a Mosaic overflow surfaces as a compile error at first
+    # call, past the ValueError fallback below.  Any other shape gets the
+    # universally-safe th=8/nck=0 policy; new shapes should be
+    # AOT-validated first (tools/aot_compile_check.py) and added here.
+    if cfg.crop_list == "1080_1920":
+        th_default = {270: 16, "A540": 12, "B540": 12}
+        nck_default = {"A540": 3, "B540": 3}
+    else:
+        th_default, nck_default = 8, 0
+
     try:
         return build_fast_decode_v5(
             cfg, params, planar_from_h=200,
-            th=_policy("BNT_DECODE_TH", {270: 16, "A540": 12,
-                                         "B540": 12}),
-            nck=_policy("BNT_DECODE_NCK", {"A540": 3, "B540": 3}),
+            th=_policy("BNT_DECODE_TH", th_default),
+            nck=_policy("BNT_DECODE_NCK", nck_default),
             split=_policy("BNT_DECODE_SPLIT", 0))
     except ValueError:
         return build_fast_decode_v3(cfg, params, tile_from_h=45,
@@ -551,10 +563,13 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     # stage's COARSE height (e.g. 270) or kind+height (e.g. "A540" for
     # the stride-2 kernel only) -> th, missing keys fall back to 8.  The
     # measured-best UVG-1080p policy (tools/v5_iso_probe.py,
-    # tools/r3_probe2.py) is {270: 16, "A540": 12}: th=16 helps the
-    # 270-zone kernels (135 slightly worse, 540 exceeds scoped VMEM even
-    # at a raised 117 MiB cap); th=12 fits and helps only the 540-zone
-    # A kernel (B+head at 540 exceeds the cap already at 12).
+    # tools/r3_nck_probe.py, 2026-08-19) is th={270:16, A540:12,
+    # B540:12} with nck=3 chunking on both 540-grid kernels: th=16 helps
+    # the 270-zone kernels but exceeds scoped VMEM at 540 even chunked;
+    # th=12 at 540 only FITS once nck=3 chunk-sized K-buffers shrink the
+    # scoped footprint (un-chunked th=12 OOMs on both 540 kernels), and
+    # chunking pays ONLY via the taller tile it unlocks (strictly slower
+    # at th=8).
     th_of = ((lambda kind, hc: th) if isinstance(th, int)
              else (lambda kind, hc: th.get(f"{kind}{hc}",
                                            th.get(hc, 8))))

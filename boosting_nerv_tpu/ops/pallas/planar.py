@@ -110,7 +110,7 @@ def upconv_kernel_to_planar(kernel, cp=None):
 _VB = {(0, 0): 0, (1, 0): 1, (1, -1): 2, (0, 1): 3}
 
 
-def planar_conv_mats(kernel, cp, cpo):
+def planar_conv_mats(kernel, cp, cpo, dtype=jnp.bfloat16):
     """HWIO (kh, kw, C, Co) fine-grid kernel (kh/kw in {1, 3}) -> per-py
     (half, full) lhs: half[py]: (2*Cpo, 4*Cp), full[py]: (2*Cpo, 8*Cp),
     bf16.  A 1x1 kernel lands entirely in the full (u=0) matrices."""
@@ -141,7 +141,7 @@ def planar_conv_mats(kernel, cp, cpo):
                         half = half.at[
                             py, px * cpo:px * cpo + co,
                             vb * cp:vb * cp + c].add(tap)
-    return half.astype(jnp.bfloat16), full.astype(jnp.bfloat16)
+    return half.astype(dtype), full.astype(dtype)
 
 
 def _planar_bias(bias, cpo):
@@ -181,10 +181,21 @@ def _region_planes(rows, nrows, wd):
         np.broadcast_to(planes, (2, rows, nrows * wd)).copy())
 
 
+def _quant_act(x32, inv):
+    """f32 activations -> integer-valued f32 in [-127, 127] (symmetric
+    per-channel int8 quantisation; `inv` broadcasts rows).  Rolling /
+    masking quantised values is exact, so callers quantise BEFORE the
+    K-buffer shifts and store with .astype(int8)."""
+    return jnp.clip(jnp.round(x32 * inv), -127.0, 127.0)
+
+
 def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
     """Fill the (8*Cp, L) K-buffer from the f32 region x32 (4*Cp, L) —
     or from per-r1 (2*Cp, L) groups when x32 is a callable r1 -> block.
-    colp: (Cp, L) coarse-col plane of the region."""
+    colp: (Cp, L) coarse-col plane of the region.  Stores in the buffer's
+    own dtype (int8 K-buffers get integer-valued f32 from a quantising
+    getter; `dt` is kept for call-site compatibility)."""
+    bt = buf.dtype
     get = x32 if callable(x32) else (
         lambda r1: lax.slice_in_dim(x32, r1 * 2 * cp, (r1 + 1) * 2 * cp,
                                     axis=0))
@@ -194,17 +205,18 @@ def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
         base = r1 * 4 * cp
         # vb0 + vb1: both r2 planes, unshifted — one contiguous copy
         # (lane-partial writes: the scratch may be wider than the region)
-        buf[pl.ds(base, 2 * cp), pl.ds(0, lanes)] = g.astype(dt)
+        buf[pl.ds(base, 2 * cp), pl.ds(0, lanes)] = g.astype(bt)
         p0 = lax.slice_in_dim(g, 0, cp, axis=0)
         p1 = lax.slice_in_dim(g, cp, 2 * cp, axis=0)
         vm = jnp.where(colp > 0, pltpu.roll(p1, 1, axis=1), 0.0)
         vp = jnp.where(colp < wc_real - 1,
                        pltpu.roll(p0, lanes - 1, axis=1), 0.0)
-        buf[pl.ds(base + 2 * cp, cp), pl.ds(0, lanes)] = vm.astype(dt)
-        buf[pl.ds(base + 3 * cp, cp), pl.ds(0, lanes)] = vp.astype(dt)
+        buf[pl.ds(base + 2 * cp, cp), pl.ds(0, lanes)] = vm.astype(bt)
+        buf[pl.ds(base + 3 * cp, cp), pl.ds(0, lanes)] = vp.astype(bt)
 
 
-def _planar_dots(buf, half_ref, full_ref, cp, cpo, wd, nout, merge=True):
+def _planar_dots(buf, half_ref, full_ref, cp, cpo, wd, nout, merge=True,
+                 sc=None):
     """The planar conv dots; returns f32 per-py (2*Cpo, nout) accs.
 
     Both py's u=0 'full' dots read the SAME lane window, so they merge
@@ -213,10 +225,15 @@ def _planar_dots(buf, half_ref, full_ref, cp, cpo, wd, nout, merge=True):
     (different lane offsets and r1 groups).  merge=False keeps the two
     per-py M=2*Cpo full dots — the merged (4*Cpo, nout) f32 temp costs
     ~15 MB at the 540-row head-kernel shapes and tips scoped VMEM over
-    the 112 MB limit there."""
+    the 112 MB limit there.
+
+    sc: (4*Cpo, 1) f32 per-output-row dequant scale — selects the int8
+    path (int8 operands, int32 accumulate, 2x MXU on v5e; the scale is
+    applied once after the half+full int32 merge)."""
+    acc_t = jnp.float32 if sc is None else jnp.int32
     if merge:
         af = lax.dot(full_ref[...], buf[:, pl.ds(wd, nout)],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=acc_t)
     accs = []
     for py, u_half in enumerate((-1, 1)):
         r1h = 1 - py
@@ -224,14 +241,17 @@ def _planar_dots(buf, half_ref, full_ref, cp, cpo, wd, nout, merge=True):
         a = lax.dot(
             half_ref[py],
             buf[pl.ds(r1h * 4 * cp, 4 * cp), pl.ds(off_h, nout)],
-            preferred_element_type=jnp.float32)
+            preferred_element_type=acc_t)
         if merge:
             a = a + lax.slice_in_dim(af, py * 2 * cpo, (py + 1) * 2 * cpo,
                                      axis=0)
         else:
             a = a + lax.dot(full_ref[pl.ds(py * 2 * cpo, 2 * cpo)],
                             buf[:, pl.ds(wd, nout)],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=acc_t)
+        if sc is not None:
+            a = a.astype(jnp.float32) * lax.slice_in_dim(
+                sc, py * 2 * cpo, (py + 1) * 2 * cpo, axis=0)
         accs.append(a)
     return accs
 
@@ -479,15 +499,130 @@ def sft_planar_vectors(scale0, shift0, scale1, shift1, cp):
                       (scale0, shift0, scale1, shift1)])
 
 
+# --------------------------------------------------------------------- #
+# int8 weight preparation (W8A8 serving quantisation).
+#
+# The round-4 nodots/noprolog split (CLAUDE.md) shows the 540-grid stage
+# kernels are DOT-bound; v5e runs int8 MXU dots at 2x the bf16 rate and
+# an int8 K-buffer halves its VMEM traffic (hardware-measured: the dot
+# chain drops 12.78 -> 6.4-6.6 ms at the B+head@540 shape).  Scheme:
+# per-fine-channel symmetric activation scales (s_x = bound/127, from
+# runtime.fast_decode.calibrate_planar_bounds) fold into the weight
+# K-columns BEFORE quantisation, per-output-row weight scales dequant
+# the int32 accs with one (4*Cpo, 1) multiply in the existing bias
+# epilogue — activations quantise in the K-buffer build (the getter
+# emits integer-valued f32; rolls/masks of quantised values are exact).
+# Matches the reference's 8-bit serving-quantisation surface
+# (/root/reference/train_nerv_all.py quant_model eval) with activations
+# quantised too; quality is measured, not assumed (tests + bench).
+# --------------------------------------------------------------------- #
+
+
+def _inv_from_bound(bound):
+    """Per-fine-channel |x| bound -> quantisation multiplier 127/bound
+    (0 for dead channels, so they quantise to exactly 0)."""
+    b = jnp.asarray(bound, jnp.float32)
+    return jnp.where(b > 1e-12, 127.0 / jnp.maximum(b, 1e-12), 0.0)
+
+
+def _quant_rows(half, full):
+    """f32 (2, 2*Cpo, 4*Cp) half + (4*Cpo, 8*Cp) full -> int8 mats and
+    the (4*Cpo, 1) f32 per-output-row scale, SHARED between the half and
+    full mats of each output row so their int32 accs stay additive."""
+    cpo2 = half.shape[1]
+    hmax = jnp.max(jnp.abs(half), axis=2)          # (2, 2*Cpo)
+    fmax = jnp.max(jnp.abs(full), axis=1)          # (4*Cpo,)
+    m = jnp.maximum(fmax, jnp.concatenate([hmax[0], hmax[1]]))
+    sc = jnp.maximum(m, 1e-12) / 127.0
+    qh = jnp.clip(jnp.round(half / sc.reshape(2, cpo2, 1)), -127, 127)
+    qf = jnp.clip(jnp.round(full / sc[:, None]), -127, 127)
+    return qh.astype(jnp.int8), qf.astype(jnp.int8), sc[:, None]
+
+
+def _quant_conv(kernel, cp, cpo, bound):
+    """Fine-grid HWIO kernel + per-input-channel |x| bound -> int8
+    planar (half, full) mats + (4*Cpo, 1) dequant row scale."""
+    sx = jnp.asarray(bound, jnp.float32) / 127.0
+    kf = kernel.astype(jnp.float32) * sx[None, None, :, None]
+    half, full = planar_conv_mats(kf, cp, cpo, dtype=jnp.float32)
+    return _quant_rows(half, full)
+
+
+def prepare_conv_rsft_i8(ck, cb, w0, b0, w1, b1, *, c, bounds,
+                         head_k=None, head_b=None):
+    """int8 build-time weights for stage kernel B.  bounds: per-fine-
+    channel |x| maxima at each conv INPUT — "x" (stage input), "t0"/"t1"
+    (TAT conv inputs), "h" (head input) — from
+    runtime.fast_decode.calibrate_planar_bounds."""
+    cp = _round16(c)
+    assert 4 * cp % 32 == 0 and cp % 32 == 0, \
+        f"int8 K-buffer sublane offsets need cp % 32 == 0, got {cp}"
+    hq, fq, scc = _quant_conv(ck, cp, cp, bounds["x"])
+    h0q, f0q, sc0 = _quant_conv(w0, cp, cp, bounds["t0"])
+    h1q, f1q, sc1 = _quant_conv(w1, cp, cp, bounds["t1"])
+    prep = dict(i8=True, hc=hq, fc=fq, bc=_planar_bias(cb, cp),
+                h0=h0q, f0=f0q, b0=_planar_bias(b0, cp),
+                h1=h1q, f1=f1q, b1=_planar_bias(b1, cp))
+    invs = [_planar_vec(_inv_from_bound(bounds["x"]), cp),
+            _planar_vec(_inv_from_bound(bounds["t0"]), cp),
+            _planar_vec(_inv_from_bound(bounds["t1"]), cp)]
+    scs = [scc, sc0, sc1]
+    if head_k is not None:
+        hhq, fhq, sch = _quant_conv(head_k, cp, 16, bounds["h"])
+        prep.update(hh=hhq, fh=fhq, bh=_planar_bias(head_b, 16))
+        invs.append(_planar_vec(_inv_from_bound(bounds["h"]), cp))
+        scs.append(jnp.pad(sch, ((0, 4 * cp - 64), (0, 0))))
+    else:
+        invs.append(jnp.zeros((4 * cp, 1), jnp.float32))
+        scs.append(jnp.zeros((4 * cp, 1), jnp.float32))
+    prep["invq"] = jnp.stack(invs)
+    prep["scq"] = jnp.stack(scs)
+    return prep
+
+
+def prepare_upconv_rsft_i8(upk, upb, w0, b0, w1, b1, *, c_in, c, bounds):
+    """int8 build-time weights for stage kernel A.  bounds keys: "x"
+    (the interleaved upconv input, (C_in,)), "t0"/"t1"."""
+    cpi = _round16(c_in)
+    cp = _round16(c)
+    assert cpi <= 4 * cp, (cpi, cp)
+    assert cp % 32 == 0 and cpi % 32 == 0, \
+        f"int8 sublane offsets need cp/cpi % 32 == 0, got {cp}/{cpi}"
+    sx = jnp.asarray(bounds["x"], jnp.float32) / 127.0
+    kf = upk.astype(jnp.float32) * sx[None, None, :, None]
+    kp = upconv_kernel_to_planar(kf, cp)
+    kp = jnp.pad(kp, ((0, 0), (0, 0), (0, cpi - c_in), (0, 0)))
+    wup = _stack_weights_dy(kp, cpi, 4 * cp, dtype=jnp.float32)
+    m = jnp.max(jnp.abs(wup), axis=(0, 2))        # (4*cp,)
+    scu = jnp.maximum(m, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(wup / scu[None, :, None]),
+                  -127, 127).astype(jnp.int8)
+    h0q, f0q, sc0 = _quant_conv(w0, cp, cp, bounds["t0"])
+    h1q, f1q, sc1 = _quant_conv(w1, cp, cp, bounds["t1"])
+    inv_up = jnp.zeros((4 * cp, 1), jnp.float32).at[:c_in, 0].set(
+        _inv_from_bound(bounds["x"]))
+    return dict(
+        i8=True, wup=wq, bup=upconv_bias_to_planar(upb, cp),
+        h0=h0q, f0=f0q, b0=_planar_bias(b0, cp),
+        h1=h1q, f1=f1q, b1=_planar_bias(b1, cp),
+        invq=jnp.stack([inv_up,
+                        _planar_vec(_inv_from_bound(bounds["t0"]), cp),
+                        _planar_vec(_inv_from_bound(bounds["t1"]), cp)]),
+        scq=jnp.stack([scu[:, None], sc0, sc1]))
+
+
 def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
                 sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref, b1_ref,
-                kb1, mid, kb2, out_write, merge=True):
+                kb1, mid, kb2, out_write, merge=True, q=None):
     """The fused TAT block on a VMEM-resident planar region.
 
     x32: f32 (4*Cp, (th+4)*wd) region value whose lane 0 corresponds to
     coarse row `row0` - 2 (row0 = abs row of output row 0).  planes_ref:
     (2, 2*Cp, >= (th+4)*wd) resident [region-row, col] planes.
-    out_write(py, block) stores the (2*Cp, th*wd) result rows."""
+    out_write(py, block) stores the (2*Cp, th*wd) result rows.
+
+    q: int8 mode — (inv0, sc0, inv1, sc1) f32 (4*Cp, 1) values; kb1/kb2
+    must then be int8 scratch and h0/f0/h1/f1 the int8 mats."""
     lanes = (th + 4) * wd
     nmid = (th + 2) * wd
     nout = th * wd
@@ -495,6 +630,9 @@ def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
     h0v = sft_ref[1]
     s1 = sft_ref[2] + 1.0
     h1v = sft_ref[3]
+    inv0 = sc0 = inv1 = sc1 = None
+    if q is not None:
+        inv0, sc0, inv1, sc1 = q
 
     rowp2 = planes_ref[0, :, pl.ds(0, lanes)] + (row0 - 2)
     colp2 = planes_ref[1, :, pl.ds(0, lanes)]
@@ -504,12 +642,16 @@ def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
         sl = lax.slice_in_dim(x32, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
         sv = lax.slice_in_dim(s0, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
         hv = lax.slice_in_dim(h0v, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0)
-        return jnp.where(in_frame, sl * sv + hv, 0.0)
+        v = jnp.where(in_frame, sl * sv + hv, 0.0)
+        if q is not None:
+            v = _quant_act(v, lax.slice_in_dim(
+                inv0, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0))
+        return v
 
     colp = lax.slice_in_dim(colp2, 0, cp, axis=0)
     _build_kbuf(kb1, sft0, colp, wc_real, cp, dt)
     a0, a1 = _planar_dots(kb1, h0_ref, f0_ref, cp, cp, wd, nmid,
-                          merge=merge)
+                          merge=merge, sc=sc0)
     m0 = _gelu(a0 + b0_ref[pl.ds(0, 2 * cp)]) * \
         lax.slice_in_dim(s1, 0, 2 * cp, axis=0) + \
         lax.slice_in_dim(h1v, 0, 2 * cp, axis=0)
@@ -520,12 +662,18 @@ def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
     mid[pl.ds(0, 2 * cp), :] = jnp.where(okm, m0, 0.0).astype(dt)
     mid[pl.ds(2 * cp, 2 * cp), :] = jnp.where(okm, m1, 0.0).astype(dt)
 
-    m32 = mid[...].astype(jnp.float32)
+    if q is None:
+        src1 = mid[...].astype(jnp.float32)
+    else:
+        def src1(r1):
+            g = mid[pl.ds(r1 * 2 * cp, 2 * cp), :].astype(jnp.float32)
+            return _quant_act(g, lax.slice_in_dim(
+                inv1, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0))
     colm = lax.slice_in_dim(
         lax.slice_in_dim(colp2, 0, cp, axis=0), 0, nmid, axis=1)
-    _build_kbuf(kb2, m32, colm, wc_real, cp, dt)
+    _build_kbuf(kb2, src1, colm, wc_real, cp, dt)
     r0, r1 = _planar_dots(kb2, h1_ref, f1_ref, cp, cp, wd, nout,
-                          merge=merge)
+                          merge=merge, sc=sc1)
     for py, r in ((0, r0), (1, r1)):
         resid = lax.slice_in_dim(
             lax.slice_in_dim(x32, py * 2 * cp, (py + 1) * 2 * cp, axis=0),
@@ -947,12 +1095,17 @@ def _conv_rsft_kernel_ck(hc_real, wc_real, wd, cp, th, head, nck, split,
                   src_ref=rbuf if split else None)
 
 
-def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, x_hbm, wup_ref,
-                        bup_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref,
-                        b1_ref, sft_ref, planes_ref, out_ref, xtile, shbuf,
-                        kb1, mid, kb2, sem):
+def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, i8, x_hbm,
+                        wup_ref, bup_ref, h0_ref, f0_ref, b0_ref, h1_ref,
+                        f1_ref, b1_ref, sft_ref, planes_ref, invq_ref,
+                        scq_ref, out_ref, xtile, shbuf, kb1, mid, kb2,
+                        sem):
     """Stage kernel A: stride-2 upconv -> sin -> TAT block, all fused.
-    x_hbm: (Cpi, Hp*wd) interleaved input with THREE zero halo rows."""
+    x_hbm: (Cpi, Hp*wd) interleaved input with THREE zero halo rows.
+    i8: W8A8 mode — wup/h0/f0/h1/f1 hold int8 mats, shbuf/kb1/kb2 are
+    int8 scratch, invq_ref (3, 4*Cp, 1) = [x (rows 0..Cpi), t0, t1]
+    quantisation multipliers, scq_ref (3, 4*Cp, 1) = [up, conv0, conv1]
+    dequant row scales."""
     nout = out_ref.shape[1]
     dt = out_ref.dtype
     i = pl.program_id(0)
@@ -978,19 +1131,29 @@ def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, x_hbm, wup_ref,
 
     x32 = xtile[slot].astype(jnp.float32)
     colp_i = _col_plane(cpi, lanes_in, wd)
+    if i8:
+        x32 = _quant_act(x32, lax.slice_in_dim(invq_ref[0], 0, cpi,
+                                               axis=0))
     _preshift_into(shbuf, x32, colp_i, wc_real, dt, cpi)
-    acc = jnp.zeros((4 * cp, n_a), jnp.float32)
+    acc_t = jnp.int32 if i8 else jnp.float32
+    acc = jnp.zeros((4 * cp, n_a), acc_t)
     for dy in range(3):
         acc = acc + lax.dot(wup_ref[dy], shbuf[:, pl.ds(dy * wd, n_a)],
-                            preferred_element_type=jnp.float32)
-    a32 = _sin_poly(acc + bup_ref[...])
+                            preferred_element_type=acc_t)
+    if i8:
+        a32 = _sin_poly(acc.astype(jnp.float32) * scq_ref[0]
+                        + bup_ref[...])
+        q = (invq_ref[1], scq_ref[1], invq_ref[2], scq_ref[2])
+    else:
+        a32 = _sin_poly(acc + bup_ref[...])
+        q = None
 
     def out_write(py, val):
         out_ref[pl.ds(py * 2 * cp, 2 * cp), :] = val.astype(dt)
 
     _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, dt, a32, planes_ref,
                 sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref, b1_ref,
-                kb1, mid, kb2, out_write)
+                kb1, mid, kb2, out_write, q=q)
 
 
 def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
@@ -1006,11 +1169,18 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
     assert wd & (wd - 1) == 0 and wd >= 128, wd
     cpi = _round16(c_in)
     cp = _round16(c)
+    i8 = bool(prep.get("i8"))
+    assert not (i8 and (nck > 0 or split)), \
+        "int8 stage kernels are serialized-only (nck=0, no split)"
+    kdt = jnp.int8 if i8 else x.dtype
     grid = pl.cdiv(hc, th)
     hp = grid * th + 6
     xf = jnp.pad(x, ((0, cpi - ci), (3, hp - hc - 3), (0, 0)))
     xf = xf.reshape(cpi, hp * wd)
     planes = _region_planes(2 * cp, th + 4, wd)
+    dq = jnp.zeros((2, 8, 1), jnp.float32)
+    invq = prep.get("invq", dq)
+    scq = prep.get("scq", dq)
     assert not (split and nck == 0), "split mode requires nck >= 1"
     if nck > 0:
         q_up = _chunk_plan(th + 4, nck)[0][1]
@@ -1032,20 +1202,29 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
         ]
     else:
         fn = functools.partial(_upconv_rsft_kernel, hc, wc_real, wd, cpi,
-                               cp, th)
+                               cp, th, i8)
         scratch = [
             pltpu.VMEM((2, cpi, (th + 6) * wd), x.dtype),
-            pltpu.VMEM((3 * cpi, (th + 6) * wd), x.dtype),
-            pltpu.VMEM((8 * cp, (th + 4) * wd), x.dtype),
+            pltpu.VMEM((3 * cpi, (th + 6) * wd), kdt),
+            pltpu.VMEM((8 * cp, (th + 4) * wd), kdt),
             pltpu.VMEM((4 * cp, (th + 2) * wd), x.dtype),
-            pltpu.VMEM((8 * cp, (th + 2) * wd), x.dtype),
+            pltpu.VMEM((8 * cp, (th + 2) * wd), kdt),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+    if nck > 0:
+        inputs = (xf, prep["wup_r" if split else "wup"], prep["bup"],
+                  prep["h0"], prep["f0"], prep["b0"], prep["h1"],
+                  prep["f1_r" if split else "f1"], prep["b1"], sft,
+                  planes)
+    else:
+        inputs = (xf, prep["wup"], prep["bup"], prep["h0"], prep["f0"],
+                  prep["b0"], prep["h1"], prep["f1"], prep["b1"], sft,
+                  planes, invq, scq)
     out = pl.pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 1),
         out_specs=pl.BlockSpec((4 * cp, th * wd), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4 * cp, hc * wd), x.dtype),
@@ -1053,19 +1232,21 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(xf, prep["wup_r" if split else "wup"], prep["bup"], prep["h0"],
-      prep["f0"], prep["b0"], prep["h1"],
-      prep["f1_r" if split else "f1"], prep["b1"], sft, planes)
+    )(*inputs)
     return out.reshape(4 * cp, hc, wd)
 
 
-def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, x_hbm, hc_ref,
-                      fc_ref, bc_ref, h0_ref, f0_ref, b0_ref, h1_ref,
-                      f1_ref, b1_ref, hh_ref, fh_ref, bh_ref, sft_ref,
-                      planes_ref, out_ref, xtile, cbuf, kb1, mid, kb2,
-                      rbuf, sem):
+def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, i8, x_hbm,
+                      hc_ref, fc_ref, bc_ref, h0_ref, f0_ref, b0_ref,
+                      h1_ref, f1_ref, b1_ref, hh_ref, fh_ref, bh_ref,
+                      sft_ref, planes_ref, invq_ref, scq_ref, out_ref,
+                      xtile, cbuf, kb1, mid, kb2, rbuf, sem):
     """Stage kernel B: planar conv -> sin -> TAT block [-> head+OutImg].
-    x_hbm: planar with `halo` zero coarse rows (4 with head, 3 without)."""
+    x_hbm: planar with `halo` zero coarse rows (4 with head, 3 without).
+    i8: W8A8 mode — conv/TAT/head weight refs hold the int8 mats, kb1/kb2
+    are int8 scratch, invq_ref (4, 4*Cp, 1) holds the per-conv-input
+    quantisation multipliers [x, t0, t1, h] and scq_ref (4, 4*Cp, 1) the
+    per-output-row dequant scales [conv, conv0, conv1, head(pad)]."""
     dt = out_ref.dtype
     i = pl.program_id(0)
     halo = 4 if head else 3
@@ -1093,9 +1274,24 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, x_hbm, hc_ref,
     # planar conv + sin -> cbuf (region rows i*th - halo + 1 ..)
     x32 = xtile[slot].astype(jnp.float32)
     colp = _col_plane(cp, lanes_in, wd)
-    _build_kbuf(kb1, x32, colp, wc_real, cp, dt)
+    if i8:
+        invx = invq_ref[0]
+
+        def src_x(r1):
+            return _quant_act(
+                lax.slice_in_dim(x32, r1 * 2 * cp, (r1 + 1) * 2 * cp,
+                                 axis=0),
+                lax.slice_in_dim(invx, r1 * 2 * cp, (r1 + 1) * 2 * cp,
+                                 axis=0))
+
+        _build_kbuf(kb1, src_x, colp, wc_real, cp, dt)
+        scc = scq_ref[0]
+        q = (invq_ref[1], scq_ref[1], invq_ref[2], scq_ref[2])
+    else:
+        _build_kbuf(kb1, x32, colp, wc_real, cp, dt)
+        scc = q = None
     c0, c1 = _planar_dots(kb1, hc_ref, fc_ref, cp, cp, wd, n_c,
-                          merge=not head)
+                          merge=not head, sc=scc)
     cbuf[pl.ds(0, 2 * cp), :] = _sin_poly(
         c0 + bc_ref[pl.ds(0, 2 * cp)]).astype(dt)
     cbuf[pl.ds(2 * cp, 2 * cp), :] = _sin_poly(
@@ -1108,7 +1304,7 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, x_hbm, hc_ref,
 
         _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, dt, c32,
                     planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
-                    f1_ref, b1_ref, kb1, mid, kb2, out_write)
+                    f1_ref, b1_ref, kb1, mid, kb2, out_write, q=q)
         return
 
     # with head: TAT emits th+2 rows into rbuf (masked), head eats them.
@@ -1124,13 +1320,27 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, x_hbm, hc_ref,
 
     _rsft_chain(i * th - 1, thr, wd, cp, hc_real, wc_real, dt, c32,
                 planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
-                f1_ref, b1_ref, kb1, mid, kb2, out_write_r, merge=False)
+                f1_ref, b1_ref, kb1, mid, kb2, out_write_r, merge=False,
+                q=q)
 
-    r32 = rbuf[...].astype(jnp.float32)
     colh = _col_plane(cp, n_r, wd)
-    _build_kbuf(kb1, r32, colh, wc_real, cp, dt)
+    if i8:
+        invh = invq_ref[3]
+
+        def src_h(r1):
+            return _quant_act(
+                rbuf[pl.ds(r1 * 2 * cp, 2 * cp), :].astype(jnp.float32),
+                lax.slice_in_dim(invh, r1 * 2 * cp, (r1 + 1) * 2 * cp,
+                                 axis=0))
+
+        _build_kbuf(kb1, src_h, colh, wc_real, cp, dt)
+        sch = lax.slice_in_dim(scq_ref[3], 0, 64, axis=0)
+    else:
+        _build_kbuf(kb1, rbuf[...].astype(jnp.float32), colh, wc_real,
+                    cp, dt)
+        sch = None
     h0o, h1o = _planar_dots(kb1, hh_ref, fh_ref, cp, 16, wd, th * wd,
-                            merge=False)
+                            merge=False, sc=sch)
     out_ref[pl.ds(0, 32), :] = _outimg(
         h0o + bh_ref[pl.ds(0, 32)]).astype(dt)
     out_ref[pl.ds(32, 32), :] = _outimg(
@@ -1149,6 +1359,10 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
     assert wd & (wd - 1) == 0 and wd >= 128, wd
     cp = g // 4
     assert cp == _round16(c), (cp, c)
+    i8 = bool(prep.get("i8"))
+    assert not (i8 and (nck > 0 or split)), \
+        "int8 stage kernels are serialized-only (nck=0, no split)"
+    kdt = jnp.int8 if i8 else xp.dtype
     halo = 4 if head else 3
     grid = pl.cdiv(hc, th)
     hp = grid * th + 2 * halo
@@ -1156,10 +1370,13 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
     xf = xf.reshape(4 * cp, hp * wd)
     gout = 64 if head else 4 * cp
     n_r = (th + 2) * wd if head else th * wd
-    dummy = jnp.zeros((2, 8, 128), jnp.bfloat16)
+    dummy = jnp.zeros((2, 8, 128), jnp.int8 if i8 else jnp.bfloat16)
     hh = prep.get("hh", dummy)
     fh = prep.get("fh", dummy)
     bh = prep.get("bh", jnp.zeros((64, 1), jnp.float32))
+    dq = jnp.zeros((2, 8, 1), jnp.float32)
+    invq = prep.get("invq", dq)
+    scq = prep.get("scq", dq)
     planes = _region_planes(2 * cp, th + 2 * halo - 2, wd)
     assert not (split and nck == 0), "split mode requires nck >= 1"
     if nck > 0:
@@ -1178,21 +1395,32 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
         ]
     else:
         fn = functools.partial(_conv_rsft_kernel, hc, wc_real, wd, cp, th,
-                               head)
+                               head, i8)
         scratch = [
             pltpu.VMEM((2, 4 * cp, (th + 2 * halo) * wd), xp.dtype),
             pltpu.VMEM((4 * cp, (th + 2 * halo - 2) * wd), xp.dtype),
-            pltpu.VMEM((8 * cp, (th + 2 * halo) * wd), xp.dtype),
+            pltpu.VMEM((8 * cp, (th + 2 * halo) * wd), kdt),
             pltpu.VMEM((4 * cp, (th + 2 * halo - 4) * wd), xp.dtype),
-            pltpu.VMEM((8 * cp, (th + 2 * halo - 4) * wd), xp.dtype),
+            pltpu.VMEM((8 * cp, (th + 2 * halo - 4) * wd), kdt),
             pltpu.VMEM((4 * cp, n_r) if head else (8, 128), xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+    if nck > 0:
+        inputs = (xf, prep["hc"], prep["fc_r" if split else "fc"],
+                  prep["bc"], prep["h0"], prep["f0"], prep["b0"],
+                  prep["h1"], prep["f1_r" if split else "f1"],
+                  prep["b1"], hh,
+                  (prep.get("fh_r", dummy) if split else fh), bh, sft,
+                  planes)
+    else:
+        inputs = (xf, prep["hc"], prep["fc"], prep["bc"], prep["h0"],
+                  prep["f0"], prep["b0"], prep["h1"], prep["f1"],
+                  prep["b1"], hh, fh, bh, sft, planes, invq, scq)
     out = pl.pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 1),
         out_specs=pl.BlockSpec((gout, th * wd), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gout, hc * wd), xp.dtype),
@@ -1200,10 +1428,7 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(xf, prep["hc"], prep["fc_r" if split else "fc"], prep["bc"],
-      prep["h0"], prep["f0"], prep["b0"], prep["h1"],
-      prep["f1_r" if split else "f1"], prep["b1"], hh,
-      (prep.get("fh_r", dummy) if split else fh), bh, sft, planes)
+    )(*inputs)
     return out.reshape(gout, hc, wd)
 
 

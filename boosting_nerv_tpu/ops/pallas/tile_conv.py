@@ -241,15 +241,17 @@ def _preshift(x32, colp, w_real, dt):
 def _preshift_into(buf, x32, colp, w_real, dt, cpad):
     """Write the dx=-1/0/+1 shifted copies into the contiguous (3*Cpad, L)
     scratch `buf` (dx-major row blocks) so that for every row offset dy the
-    K=3*Cpad rhs of the conv dot is ONE static slice buf[:, dy*w:dy*w+n]."""
-    xm, x0, xp = _preshift(x32, colp, w_real, dt)
+    K=3*Cpad rhs of the conv dot is ONE static slice buf[:, dy*w:dy*w+n].
+    Stores in the buffer's own dtype (int8 buffers receive pre-quantised
+    integer-valued f32; `dt` kept for call-site compatibility)."""
+    xm, x0, xp = _preshift(x32, colp, w_real, buf.dtype)
     lanes = x32.shape[1]  # lane-partial: the scratch may be wider
     buf[pl.ds(0, cpad), pl.ds(0, lanes)] = xm
     buf[pl.ds(cpad, cpad), pl.ds(0, lanes)] = x0
     buf[pl.ds(2 * cpad, cpad), pl.ds(0, lanes)] = xp
 
 
-def _stack_weights_dy(kernel, cpad, copad):
+def _stack_weights_dy(kernel, cpad, copad, dtype=jnp.bfloat16):
     """flax HWIO (k, k, Cin, Cout) -> (k, Copad, k*Cpad) bf16 per-dy lhs
     blocks whose K order matches _preshift_into's dx-major row blocks."""
     kh, kw, cin, cout = kernel.shape
@@ -258,7 +260,7 @@ def _stack_weights_dy(kernel, cpad, copad):
     for dy in range(kh):
         for dx in range(kw):
             w = w.at[dy, :cout, dx * cpad:dx * cpad + cin].set(k32[dy, dx].T)
-    return w.astype(jnp.bfloat16)
+    return w.astype(dtype)
 
 
 def _stack_weights_ody(kernel, cpad, copad):

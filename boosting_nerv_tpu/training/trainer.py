@@ -105,7 +105,17 @@ class RegressionTrainer:
         np.random.seed(cfg.manualSeed)
         # training numerics: the reference trains fp32; on TPU the default
         # 1-pass-bf16 matmuls make the high-frequency (FFT) loss diverge
-        # (see BoostConfig.train_precision)
+        # (see BoostConfig.train_precision).  The E-NeRV transformer trunk
+        # additionally flatlines (15.1 dB @720p, BASELINE.md) at "high"
+        # (3-pass bf16) where the conv-only models converge identically to
+        # "highest" — attention logits need the full-precision path, so the
+        # ENeRV family is pinned to "highest".
+        if cfg.model.startswith("ENeRV") and cfg.train_precision != "highest":
+            print(f"train_precision {cfg.train_precision!r} -> 'highest': "
+                  "the E-NeRV transformer trunk diverges below full matmul "
+                  "precision (measured, BASELINE.md)")
+            cfg = cfg.replace(train_precision="highest")
+            self.cfg0 = cfg
         jax.config.update("jax_default_matmul_precision", cfg.train_precision)
 
         self.video = video if video is not None else VideoData.from_dir(

@@ -63,6 +63,20 @@ class TestOverfit:
         res = trainer.evaluate()
         assert res["pred_seen_psnr"] > 15.0, res
 
+    def test_enerv_forces_highest_precision(self, tmp_path):
+        """The E-NeRV transformer trunk flatlines below 'highest' matmul
+        precision (measured 720p, BASELINE.md): the trainer must pin it
+        even when a recipe passes --train_precision high."""
+        frames = synthetic_video(2, 8, 16)
+        cfg = tiny_cfg(tmp_path, "ENeRV_Boost", epochs=1,
+                       train_precision="high")
+        video = VideoData(frames, cfg.interpolation, cfg.embed_inter)
+        trainer = RegressionTrainer(
+            cfg, video=video, logger=RunLogger(cfg.outf, enable_tb=False))
+        assert trainer.cfg.train_precision == "highest"
+        import jax
+        assert jax.config.jax_default_matmul_precision == "highest"
+
     def test_hnerv_plain_trains(self, tmp_path):
         frames = synthetic_video(4, 8, 16)
         cfg = tiny_cfg(tmp_path, "HNeRV", sft_block="none", embed="",

@@ -84,23 +84,61 @@ def _timed_scan(decode_fn, embed, n: int) -> float:
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
     cfg, model, params, embed = _build()
     # serving path (shared with the trainer's --eval_fps via
     # build_serving_decode): the fastest verified Pallas decode pipeline.
     from boosting_nerv_tpu.runtime.fast_decode import build_serving_decode
 
-    decode_fn = build_serving_decode(cfg, params)
     # one 20-step scan (~1.5 s device time) vs ~0.7 ms dispatch RTT: the
     # fixed overhead is <0.1%, no differencing needed
     n = 20
-    per_frame = _timed_scan(decode_fn, embed, n) / n
-    fps = 1.0 / per_frame
+
+    decode_bf16 = build_serving_decode(cfg, params)
+    fps_bf16 = n / _timed_scan(decode_bf16, embed, n)
+
+    # W8A8 serving mode: calibrate over frames spanning the bench t-range,
+    # then verify quality against the bf16 pipeline on a held frame.
+    # Headline = W8A8 only if its output tracks bf16 within the gate
+    # (>= 35 dB: quantisation noise well under the model's own
+    # reconstruction error on every trained config measured in
+    # BASELINE.md; this bench's untrained init is the worst case).
+    extra = {}
+    fps = fps_bf16
+    mode = "bf16"
+    try:
+        calib = [(embed, jnp.asarray([tv], jnp.float32))
+                 for tv in (0.01, 0.25, 0.5, 0.75, 1.0)]
+        decode_i8 = build_serving_decode(cfg, params, w8a8_calib=calib)
+        if getattr(decode_i8, "w8a8_stages", []):
+            fps_i8 = n / _timed_scan(decode_i8, embed, n)
+            t_hold = jnp.asarray([0.37], jnp.float32)
+            a = jax.device_get(decode_bf16(embed, t_hold)).astype("float32")
+            b = jax.device_get(decode_i8(embed, t_hold)).astype("float32")
+            import math
+            mse = float(((a - b) ** 2).mean())
+            psnr = 99.0 if mse <= 1e-12 else -10.0 * math.log10(mse)
+            extra = {
+                "fps_bf16": round(fps_bf16, 2),
+                "fps_w8a8": round(fps_i8, 2),
+                "w8a8_vs_bf16_psnr_db": round(psnr, 2),
+                "w8a8_stages": list(decode_i8.w8a8_stages),
+            }
+            if fps_i8 > fps_bf16 and psnr >= 35.0:
+                fps = fps_i8
+                mode = "w8a8"
+    except Exception as e:  # W8A8 must never break the headline number
+        extra = {"w8a8_error": f"{type(e).__name__}: {e}"[:160]}
 
     print(json.dumps({
         "metric": "uvg1080p_decode_fps_per_chip",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_TARGET_FPS, 3),
+        "serving_mode": mode,
+        **extra,
     }))
 
 

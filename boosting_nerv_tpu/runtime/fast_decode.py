@@ -318,12 +318,171 @@ def build_fast_decode_v3(cfg: BoostConfig, params, tile_from_h: int = 200,
     return decode
 
 
-def build_serving_decode(cfg: BoostConfig, params) -> Callable:
+def _planar_tail_span(cfg, plan, out_hw, planar_from_h, fine_from_h):
+    """(switch_at, fine_at) of the v5 subpixel-planar tail — the single
+    source of truth shared by build_fast_decode_v5 and the W8A8
+    calibrator so their stage indexing can never diverge."""
+    switch_at = len(plan)
+    first = 1 if cfg.model == "ENeRV_Boost" else 0
+    for start in range(first, len(plan)):
+        if plan[start].strd != 2 or min(plan[start].ks, 3) != 3:
+            continue
+        if out_hw[start][0] < planar_from_h:
+            continue
+        if all(plan[j].strd in (1, 2) and min(plan[j].ks, 3) == 3
+               for j in range(start, len(plan))):
+            switch_at = start
+            break
+    if switch_at == len(plan):
+        raise ValueError("no planar-eligible tail for this config")
+    fine_at = len(plan)
+    for bi in range(switch_at, len(plan)):
+        if out_hw[bi][0] >= fine_from_h:
+            fine_at = bi
+            break
+    return switch_at, fine_at
+
+
+def build_planar_bounds_fn(cfg: BoostConfig, params,
+                           planar_from_h: int = 200,
+                           fine_from_h: int = 10 ** 9) -> Callable:
+    """Jittable W8A8 calibration pass: `calib(embed, t)` decodes one frame
+    with the plain XLA fine-grid math (bit-identical semantics to the
+    planar kernels up to layout) and returns the per-fine-channel |x|
+    maxima at every conv input of every planar-tail stage, keyed
+    "{bi}.x" / "{bi}.t0" / "{bi}.t1" (+ "{bi}.h" on the fused-head
+    stage).  Feed several frames and tree-maximize; the result is the
+    `bounds` input of ops.pallas.planar.prepare_*_i8 via
+    build_fast_decode_v5(w8a8_bounds=...).
+
+    Serving quantisation surface of the reference
+    (/root/reference/train_nerv_all.py quant_model / --quant_model_bit 8)
+    extended to activations for the 2x-int8 MXU path."""
+    from ..config import model_expansion
+
+    p = params["params"] if "params" in params else params
+    p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, DT), p)
+    pe = PEConfig.from_string(cfg.embed, cfg.lfreq)
+    if cfg.model == "HNeRV_Boost":
+        plan = decoder_stage_plan(cfg, cfg.fc_dim, hnerv_style=True)
+    else:
+        plan = decoder_stage_plan(cfg, cfg.fc_dim,
+                                  expansion=model_expansion(cfg.model))
+    out_hw = []
+    h_cur, w_cur = cfg.fc_h, cfg.fc_w
+    for spec in plan:
+        h_cur, w_cur = h_cur * spec.strd, w_cur * spec.strd
+        out_hw.append((h_cur, w_cur))
+    switch_at, fine_at = _planar_tail_span(cfg, plan, out_hw,
+                                           planar_from_h, fine_from_h)
+
+    if cfg.model == "ENeRV_Boost":
+        from ..models import build_model
+        _enerv = build_model(cfg)
+
+        def _prefix(embed, t):
+            def run(m, tt):
+                x, pe_t = m.trunk(tt)
+                t_manip = m.t_branch(pe_t)
+                for blk in m.blocks[:switch_at]:
+                    x = blk(x, t_manip)
+                return x, t_manip
+            return _enerv.apply({"params": p}, t, method=run)
+    else:
+        def _prefix(embed, t):
+            pe_t = position_encoding(t, pe).astype(DT)
+            t_embed = _mlp_sin(p["stem_t"], pe_t, 2)
+            if cfg.model == "HNeRV_Boost":
+                x = embed.astype(DT)
+                stem = p["stem"]
+                x = _conv_nhwc(stem["DownConv_0"]["TConv_0"]["Conv_0"],
+                               x, 0)
+                x = jnp.sin(x)
+                x = _rsft_apply_nhwc(stem["ResBlockSFT_0"], x, t_embed)
+            else:
+                x = _mlp_sin(p["stem"], pe_t, 2)
+                x = x.reshape(1, cfg.fc_h, cfg.fc_w, cfg.fc_dim)
+            for bi in range(switch_at):
+                spec = plan[bi]
+                blk = p[f"blocks_{bi}"]
+                conv = blk["UpConv_0"]["TConv_0"]["Conv_0"]
+                ks = min(spec.ks, 3)
+                x = _conv_nhwc(conv, x, (ks - 1) // 2)
+                if spec.strd > 1:
+                    x = _d2s_nhwc(x, spec.strd)
+                x = jnp.sin(x)
+                x = _rsft_apply_nhwc(blk["ResBlockSFT_0"], x, t_embed)
+            return x, t_embed
+
+    def _chmax(x):
+        return jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2))
+
+    def calib(embed, t):
+        x, t_embed = _prefix(embed, t)
+        bounds = {}
+        for bi in range(switch_at, fine_at):
+            spec = plan[bi]
+            blk = p[f"blocks_{bi}"]
+            conv = blk["UpConv_0"]["TConv_0"]["Conv_0"]
+            rsft = blk["ResBlockSFT_0"]
+            bounds[f"{bi}.x"] = _chmax(x)
+            if spec.strd == 2:
+                x = _conv_nhwc(conv, x, 1)
+                x = _d2s_nhwc(x, 2)
+                x = jnp.sin(x)
+            else:
+                x = jnp.sin(_conv_nhwc(conv, x, 1))
+            (s0, h0), (s1, h1) = _sft_vectors(rsft, t_embed)
+            bc = lambda v: v[:, None, None, :].astype(x.dtype)
+            t0 = x * (bc(s0) + 1) + bc(h0)
+            bounds[f"{bi}.t0"] = _chmax(t0)
+            a = _conv_nhwc(rsft["TConv_0"]["Conv_0"], t0, 1)
+            t1 = jax.nn.gelu(a, approximate=False) * (bc(s1) + 1) + bc(h1)
+            bounds[f"{bi}.t1"] = _chmax(t1)
+            x = x + _conv_nhwc(rsft["TConv_1"]["Conv_0"], t1, 1)
+            if bi == len(plan) - 1 and spec.strd == 1:
+                bounds[f"{bi}.h"] = _chmax(x)
+        return bounds
+
+    return calib
+
+
+def calibrate_planar_bounds(cfg: BoostConfig, params, frames,
+                            planar_from_h: int = 200,
+                            fine_from_h: int = 10 ** 9,
+                            margin: float = 1.0):
+    """Run the W8A8 calibration pass over `frames` (iterable of
+    (embed, t) pairs) and return the tree-maximized bounds dict for
+    build_fast_decode_v5(w8a8_bounds=...).  `margin` scales the maxima
+    (>1 leaves headroom for un-calibrated frames; clipping saturates, so
+    modest overshoot degrades gracefully)."""
+    calib = jax.jit(build_planar_bounds_fn(cfg, params, planar_from_h,
+                                           fine_from_h))
+    acc = None
+    for embed, t in frames:
+        b = calib(embed, t)
+        acc = b if acc is None else jax.tree_util.tree_map(jnp.maximum,
+                                                           acc, b)
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_get(a * margin), acc)
+
+
+def build_serving_decode(cfg: BoostConfig, params,
+                         w8a8_calib=None) -> Callable:
     """The production decode path: the fastest verified kernel pipeline
     for the config.  Single source of truth for bench.py and the
     trainer's --eval_fps (reference fps convention,
     /root/reference/train_nerv_all.py:490-496).  Raises ValueError for
     configs outside the supported Boost paper shapes.
+
+    `w8a8_calib`: optional iterable of (embed, t) calibration frames.
+    When given (and BNT_DECODE_W8A8 != "0"), the int8-aligned planar
+    stages serve W8A8 — calibrated per-channel activation quantisation
+    folded into int8 weight mats, int32-accumulate MXU dots (2x int8
+    MXU rate on v5e, half the K-buffer traffic).  Quality is the
+    caller's contract: W8A8 adds quantisation noise on top of bf16
+    (measured PSNR-vs-bf16 per config in BASELINE.md); pass None for
+    the bit-faithful bf16 pipeline.
 
     v5 fused-planar when the config has a stride-2 3x3 tail (measured
     32.5 fps UVG-1080p with the default policy below vs 22.2 for v3,
@@ -366,12 +525,32 @@ def build_serving_decode(cfg: BoostConfig, params) -> Callable:
     else:
         th_default, nck_default = 8, 0
 
+    bounds = None
+    if w8a8_calib is not None and _os.environ.get("BNT_DECODE_W8A8") != "0":
+        try:
+            bounds = calibrate_planar_bounds(cfg, params, w8a8_calib,
+                                             margin=1.05)
+        except ValueError:
+            bounds = None
+        if bounds is not None:
+            # int8 halves the K-buffer VMEM: the 540-grid kernels fit
+            # taller tiles UN-chunked (nck is forced 0 on i8 stages
+            # inside the builder).  A@270 stays bf16 (cpi=80 misaligned)
+            # at its measured-best th=16 unchunked.  Policy is
+            # hardware-validated by tools/r4_i8_e2e_probe.py; a VMEM
+            # overflow on an unprobed shape surfaces at first jit call
+            # (bench.py catches it and keeps the bf16 headline).
+            if cfg.crop_list == "1080_1920":
+                th_default = {270: 16, 540: 12}
+                nck_default = 0
+
     try:
         return build_fast_decode_v5(
             cfg, params, planar_from_h=200,
             th=_policy("BNT_DECODE_TH", th_default),
             nck=_policy("BNT_DECODE_NCK", nck_default),
-            split=_policy("BNT_DECODE_SPLIT", 0))
+            split=_policy("BNT_DECODE_SPLIT", 0),
+            w8a8_bounds=bounds)
     except ValueError:
         return build_fast_decode_v3(cfg, params, tile_from_h=45,
                                     mode="dy3")
@@ -481,7 +660,7 @@ def build_fast_decode(cfg: BoostConfig, params,
 def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                          th: int | dict = 8, fine_from_h: int = 10 ** 9,
                          head_th: int = 24, nck: int | dict = 0,
-                         split: int | dict = 0,
+                         split: int | dict = 0, w8a8_bounds=None,
                          interpret: bool = False) -> Callable:
     """v5: fused-stage subpixel-planar tail (ops/pallas/planar).
 
@@ -536,27 +715,11 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
         out_hw.append((h_cur, w_cur))
 
     # switch: first stride-2 3x3 stage whose fine output height clears the
-    # threshold AND from which the rest of the plan is planar-eligible
-    switch_at = len(plan)
-    # ENeRV stage 0 is a ConvUpBlock (factorised conv-then-up, different
-    # param tree) — it always stays in the flax prefix.
-    first = 1 if cfg.model == "ENeRV_Boost" else 0
-    for start in range(first, len(plan)):
-        if plan[start].strd != 2 or min(plan[start].ks, 3) != 3:
-            continue
-        if out_hw[start][0] < planar_from_h:
-            continue
-        if all(plan[j].strd in (1, 2) and min(plan[j].ks, 3) == 3
-               for j in range(start, len(plan))):
-            switch_at = start
-            break
-    if switch_at == len(plan):
-        raise ValueError("no planar-eligible tail for this config")
-    fine_at = len(plan)
-    for bi in range(switch_at, len(plan)):
-        if out_hw[bi][0] >= fine_from_h:
-            fine_at = bi
-            break
+    # threshold AND from which the rest of the plan is planar-eligible.
+    # (ENeRV stage 0 is a ConvUpBlock that always stays in the flax
+    # prefix — handled inside the shared helper.)
+    switch_at, fine_at = _planar_tail_span(cfg, plan, out_hw,
+                                           planar_from_h, fine_from_h)
     head_fused = fine_at == len(plan) and plan[-1].strd == 1
 
     # per-stage tile height: int applies everywhere; a dict maps the
@@ -593,6 +756,23 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
         return w
 
     # ---- build-time weight preparation --------------------------------- #
+    # W8A8: a stage goes int8 when calibration bounds were supplied AND
+    # its padded channel counts satisfy the int8 sublane alignment
+    # (cp % 32 == 0 — (32, 128) int8 tiling).  Misaligned stages (e.g.
+    # cp = 80 zones) silently stay bf16; mixed pipelines are fine because
+    # every kernel dequantizes back to the bf16 planar layout.
+    def _i8_bounds(bi, keys):
+        if w8a8_bounds is None:
+            return None
+        c = plan[bi].new_ngf
+        cpo = (c + 15) // 16 * 16
+        cpi = (plan[bi].ngf + 15) // 16 * 16
+        aligned = cpo % 32 == 0 and (plan[bi].strd == 1 or cpi % 32 == 0)
+        if not aligned:
+            return None
+        return {k: jnp.asarray(w8a8_bounds[f"{bi}.{k}"], jnp.float32)
+                for k in keys}
+
     preps = []
     for bi in range(switch_at, fine_at):
         blk = p[f"blocks_{bi}"]
@@ -604,16 +784,31 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
         b1 = rsft["TConv_1"]["Conv_0"]["bias"]
         c = plan[bi].new_ngf
         if plan[bi].strd == 2:
-            prep = pk.prepare_upconv_rsft(
-                conv["kernel"], conv["bias"], w0, b0, w1, b1,
-                c_in=plan[bi].ngf, c=c)
+            b8 = _i8_bounds(bi, ("x", "t0", "t1"))
+            if b8 is not None:
+                prep = pk.prepare_upconv_rsft_i8(
+                    conv["kernel"], conv["bias"], w0, b0, w1, b1,
+                    c_in=plan[bi].ngf, c=c, bounds=b8)
+            else:
+                prep = pk.prepare_upconv_rsft(
+                    conv["kernel"], conv["bias"], w0, b0, w1, b1,
+                    c_in=plan[bi].ngf, c=c)
         else:
             is_last = bi == len(plan) - 1
             head = p["head"]["Conv_0"] if (is_last and head_fused) else None
-            prep = pk.prepare_conv_rsft(
-                conv["kernel"], conv["bias"], w0, b0, w1, b1, c=c,
-                head_k=head["kernel"] if head else None,
-                head_b=head["bias"] if head else None)
+            b8 = _i8_bounds(bi, ("x", "t0", "t1") + (("h",) if head
+                                                     else ()))
+            if b8 is not None:
+                prep = pk.prepare_conv_rsft_i8(
+                    conv["kernel"], conv["bias"], w0, b0, w1, b1, c=c,
+                    bounds=b8,
+                    head_k=head["kernel"] if head else None,
+                    head_b=head["bias"] if head else None)
+            else:
+                prep = pk.prepare_conv_rsft(
+                    conv["kernel"], conv["bias"], w0, b0, w1, b1, c=c,
+                    head_k=head["kernel"] if head else None,
+                    head_b=head["bias"] if head else None)
         preps.append(prep)
 
     # E-NeRV-Boost prefix: transformer trunk + t_branch + pre-switch
@@ -685,21 +880,26 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                     hc, wc = fine.shape[1], fine.shape[2]
                     wd = _pow2(wc)
                     chw = jnp.pad(fine, ((0, 0), (0, 0), (0, wd - wc)))
-                nck_v = nck_of("A", out_hw[bi][0] // 2)
+                # int8 stage kernels are serialized-only: chunking exists
+                # to shrink bf16 K-buffers under scoped VMEM, int8 halves
+                # them outright (planar.py asserts nck == 0 for i8).
+                i8_s = bool(preps[off].get("i8"))
+                nck_v = 0 if i8_s else nck_of("A", out_hw[bi][0] // 2)
                 planar = pk.fused_upconv_rsft(
                     chw, preps[off], sft, c_in=spec.ngf, c=c, wc_real=wc,
                     th=th_of("A", out_hw[bi][0] // 2), nck=nck_v,
-                    split=(split_of("A", out_hw[bi][0] // 2)
+                    split=(not i8_s and split_of("A", out_hw[bi][0] // 2)
                            and nck_v >= 1),
                     interpret=interpret)
             else:
                 is_last_head = head_fused and bi == len(plan) - 1
-                nck_v = nck_of("B", out_hw[bi][0] // 2)
+                i8_s = bool(preps[off].get("i8"))
+                nck_v = 0 if i8_s else nck_of("B", out_hw[bi][0] // 2)
                 planar = pk.fused_conv_rsft(
                     planar, preps[off], sft, c=c, wc_real=wc,
                     head=is_last_head, th=th_of("B", out_hw[bi][0] // 2),
                     nck=nck_v,
-                    split=(split_of("B", out_hw[bi][0] // 2)
+                    split=(not i8_s and split_of("B", out_hw[bi][0] // 2)
                            and nck_v >= 1),
                     interpret=interpret)
 
@@ -758,4 +958,7 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
         out = _conv_nhwc(head, fine.transpose(1, 2, 0)[None], 1)
         return jnp.tanh(out) * 0.5 + 0.5
 
+    # introspection for bench/tests: which tail stages run W8A8
+    decode.w8a8_stages = [switch_at + off for off, pr in enumerate(preps)
+                          if pr.get("i8")]
     return decode

@@ -134,6 +134,89 @@ class TestInt8StageKernels:
         err = float(jnp.abs(got.astype(jnp.float32) - ref).max())
         assert err < 0.05 * max(float(jnp.abs(ref).max()), 1.0), err
 
+    def test_v5_decode_w8a8_e2e(self):
+        """calibrate_planar_bounds -> build_fast_decode_v5(w8a8_bounds=)
+        tracks the flax decode within W8A8 noise; misaligned-cp configs
+        silently keep bf16 (w8a8_stages introspection checks both)."""
+        from boosting_nerv_tpu.config import BoostConfig
+        from boosting_nerv_tpu.models import build_model
+        from boosting_nerv_tpu.runtime.fast_decode import (
+            build_fast_decode_v5, calibrate_planar_bounds)
+
+        # fc_dim 30 -> tail channels 30/25/21, all _round16 -> 32 (int8
+        # sublane alignment), so every planar stage engages W8A8
+        cfg = BoostConfig(
+            model="HNeRV_Boost", embed="pe_1.25_20", fc_dim=30,
+            dec_strds=[2, 2], dec_blks=[1, 2], ks="0_1_5",
+            conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+            sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4,
+            enc_strds=[2, 2], enc_dim="8_4")
+        model = build_model(cfg)
+        img = jnp.asarray(rng.uniform(size=(1, 16, 16, 3))
+                          .astype(np.float32))
+        params = model.init(jax.random.key(0), img, jnp.array([0.4]))
+        embed = model.apply(params, img, method="encode")
+
+        frames = [(embed, jnp.array([tv])) for tv in (0.1, 0.4, 0.9)]
+        bounds = calibrate_planar_bounds(cfg, params, frames,
+                                         planar_from_h=1)
+        assert all(np.all(np.isfinite(v)) and v.ndim == 1
+                   for v in bounds.values())
+
+        t = jnp.array([0.4])
+        ref = model.apply(params, embed, t, method="decode")
+        dec = build_fast_decode_v5(cfg, params, planar_from_h=1, th=4,
+                                   w8a8_bounds=bounds, interpret=True)
+        # stage 0 is the ks=1 (1x1-conv) stage — not planar-eligible;
+        # the planar tail spans stages 1 (A) and 2 (B), both W8A8
+        assert dec.w8a8_stages == [1, 2], dec.w8a8_stages
+        out = dec(embed, t)
+        assert out.shape == ref.shape
+        diff = out.astype(jnp.float32) - ref
+        err = float(jnp.abs(diff).max())
+        rms = float(jnp.sqrt(jnp.mean(diff ** 2)))
+        # three cascaded W8A8 stages of an UNTRAINED random decoder on
+        # the [0,1] output range; layout/scale bugs give O(1) errors
+        assert err < 0.2, err
+        assert rms < 0.03, rms
+
+        # a frame OUTSIDE the calibration t-range still degrades
+        # gracefully (clipping saturates, it does not wrap)
+        t2 = jnp.array([0.65])
+        ref2 = model.apply(params, embed, t2, method="decode")
+        err2 = float(jnp.abs(dec(embed, t2).astype(jnp.float32)
+                             - ref2).max())
+        assert err2 < 0.3, err2
+
+    def test_v5_decode_w8a8_misaligned_falls_back(self):
+        from boosting_nerv_tpu.config import BoostConfig
+        from boosting_nerv_tpu.models import build_model
+        from boosting_nerv_tpu.runtime.fast_decode import (
+            build_fast_decode_v5, calibrate_planar_bounds)
+
+        cfg = BoostConfig(
+            model="HNeRV_Boost", embed="pe_1.25_20", fc_dim=12,
+            dec_strds=[2, 2], dec_blks=[1, 2], ks="0_1_5",
+            conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+            sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4,
+            enc_strds=[2, 2], enc_dim="8_4")
+        model = build_model(cfg)
+        img = jnp.asarray(rng.uniform(size=(1, 16, 16, 3))
+                          .astype(np.float32))
+        t = jnp.array([0.4])
+        params = model.init(jax.random.key(0), img, t)
+        embed = model.apply(params, img, method="encode")
+        bounds = calibrate_planar_bounds(cfg, params, [(embed, t)],
+                                         planar_from_h=1)
+        dec = build_fast_decode_v5(cfg, params, planar_from_h=1, th=4,
+                                   w8a8_bounds=bounds, interpret=True)
+        # cp = 16 stages are int8-ineligible: pipeline stays pure bf16
+        assert dec.w8a8_stages == []
+        ref = model.apply(params, embed, t, method="decode")
+        err = float(jnp.abs(dec(embed, t).astype(jnp.float32)
+                            - ref).max())
+        assert err < 0.02, err
+
     def test_upconv_rsft_i8(self):
         from boosting_nerv_tpu.ops.pixelshuffle import depth_to_space
 

@@ -76,6 +76,34 @@ POLICIES = [
 
 import os
 
+# BNT_AOT_W8A8=1: check int8 (W8A8) policies instead.  Compile
+# feasibility is independent of the calibration values, so dummy
+# all-ones bounds stand in for calibrate_planar_bounds.
+if os.environ.get("BNT_AOT_W8A8"):
+    import numpy as np
+    from boosting_nerv_tpu.config import decoder_stage_plan
+
+    plan = decoder_stage_plan(cfg, cfg.fc_dim, hnerv_style=True)
+    BOUNDS = {}
+    for bi in range(2, len(plan)):  # planar tail of the 1080p config
+        BOUNDS[f"{bi}.x"] = np.ones(plan[bi].ngf, np.float32)
+        for k in ("t0", "t1"):
+            BOUNDS[f"{bi}.{k}"] = np.ones(plan[bi].new_ngf, np.float32)
+    BOUNDS[f"{len(plan)-1}.h"] = np.ones(plan[-1].new_ngf, np.float32)
+    POLICIES = [
+        ("i8 th8", dict(th={270: 16}, w8a8_bounds=BOUNDS)),
+        ("i8 th540_12", dict(th={270: 16, 540: 12}, w8a8_bounds=BOUNDS)),
+        ("i8 th540_16", dict(th={270: 16, 540: 16}, w8a8_bounds=BOUNDS)),
+        ("i8 th540_12 270_24", dict(th={270: 24, 540: 12},
+                                    w8a8_bounds=BOUNDS)),
+        ("i8 th540_16 270_24", dict(th={270: 24, 540: 16},
+                                    w8a8_bounds=BOUNDS)),
+        # bf16 A270 (cpi=80, int8-ineligible) keeps its nck3 chunking
+        ("i8 th540_12 A270nck3", dict(th={270: 16, 540: 12},
+                                      nck={"A270": 3},
+                                      w8a8_bounds=BOUNDS)),
+    ]
+
 _only = os.environ.get("BNT_AOT_ONLY")  # substring filter, comma-separated
 if _only:
     keys = [s.strip() for s in _only.split(",")]

@@ -83,9 +83,26 @@ def _timed_scan(decode_fn, embed, n: int) -> float:
     return best
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the 1080p serving compiles cost
+    minutes on this 1-core host; cache them across processes so a warm
+    re-run (e.g. the driver's bench after a local validation run) skips
+    straight to execution. Keyed on HLO+platform, safe on axon."""
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("BNT_BENCH_CACHE", "/tmp/bnt_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     cfg, model, params, embed = _build()
     # serving path (shared with the trainer's --eval_fps via

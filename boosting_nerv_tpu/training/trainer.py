@@ -105,16 +105,31 @@ class RegressionTrainer:
         np.random.seed(cfg.manualSeed)
         # training numerics: the reference trains fp32; on TPU the default
         # 1-pass-bf16 matmuls make the high-frequency (FFT) loss diverge
-        # (see BoostConfig.train_precision).  The E-NeRV transformer trunk
-        # additionally flatlines (15.1 dB @720p, BASELINE.md) at "high"
-        # (3-pass bf16) where the conv-only models converge identically to
-        # "highest" — attention logits need the full-precision path, so the
-        # ENeRV family is pinned to "highest".
-        if cfg.model.startswith("ENeRV") and cfg.train_precision != "highest":
-            print(f"train_precision {cfg.train_precision!r} -> 'highest': "
-                  "the E-NeRV transformer trunk diverges below full matmul "
-                  "precision (measured, BASELINE.md)")
-            cfg = cfg.replace(train_precision="highest")
+        # (see BoostConfig.train_precision), so the ENeRV transformer trunk
+        # is pinned to "highest" matmul precision.  Precision alone does
+        # NOT stabilize it, though: the trunk's norm-free post-residual
+        # blocks (/root/reference/model_enerv.py:59-71, prenorm=False)
+        # walk to exploding activations on this stack (trans2 std 14398
+        # after 60 flatlined epochs vs 0.12 at init —
+        # tools/r4_enerv_postmortem.py; sin wraps downstream so the loss
+        # never penalizes scale).  Global grad clipping caps the early
+        # steps that walk there — measured: 15.08 dB flatline without it,
+        # monotone climb through 18+ dB with clip=1.0 (BASELINE.md round
+        # 4).  The reference exposes the same flag
+        # (train_nerv_all.py:79,346-347, default 0); torch/fp32 dynamics
+        # evidently don't need it, ours do, so the ENeRV default is 1.0
+        # here (explicit --clip_max_norm wins).
+        if cfg.model.startswith("ENeRV"):
+            if cfg.train_precision != "highest":
+                print(f"train_precision {cfg.train_precision!r} -> "
+                      "'highest': the E-NeRV transformer trunk diverges "
+                      "below full matmul precision (measured, BASELINE.md)")
+                cfg = cfg.replace(train_precision="highest")
+            if cfg.clip_max_norm == 0.0:
+                print("clip_max_norm 0.0 -> 1.0: the E-NeRV trunk's "
+                      "norm-free residuals need grad clipping on this "
+                      "stack (measured, BASELINE.md round 4)")
+                cfg = cfg.replace(clip_max_norm=1.0)
             self.cfg0 = cfg
         jax.config.update("jax_default_matmul_precision", cfg.train_precision)
 

@@ -11,7 +11,7 @@ for video in Beauty Bosphorus HoneyBee Jockey ReadySteadyGo YachtRide ShakeNDry;
     --crop_list 1080_1920 --resize_list -1 --loss Fusion10_freq \
     --embed pe_1.25_80 --fc_hw 9_16 \
     --dec_strds 5 3 2 2 2 --ks 0_3_3 --reduce 2 --dec_blks 1 1 2 2 2 \
-    --modelsize "$size" -e 100 --eval_freq 30 --lower_width 12 -b 1 --lr 0.0005 --train_precision highest \
+    --modelsize "$size" -e 100 --eval_freq 30 --lower_width 12 -b 1 --lr 0.0005 --train_precision highest --clip_max_norm 1.0 \
     --weight ./output/regression/ENeRV_Boost/epoch_300/$video/Size$size/model_latest.ckpt \
     --lr_type cosine_0_1_0.1 --not_resume \
     --quant --quant_model_bit 8 --quant_bias_bit 8 \

@@ -9,7 +9,7 @@ for video in blackswan bmx-trees breakdance camel car-roundabout car-shadow cows
     --crop_list 1080_1920 --resize_list -1 --loss Fusion10_freq \
     --embed pe_1.25_80 \
     --dec_strds 5 3 2 2 2 --dec_blks 1 1 2 2 2 \
-    --modelsize 1.8 -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.0015 --train_precision highest \
+    --modelsize 1.8 -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.0015 --train_precision highest --clip_max_norm 1.0 \
     --inpanting $mode
 done
 done

@@ -9,6 +9,6 @@ for video in Beauty Bosphorus HoneyBee Jockey ReadySteadyGo YachtRide ShakeNDry;
     --crop_list 1080_1920 --resize_list -1 --loss Fusion10_freq \
     --embed pe_1.05_80 \
     --dec_strds 5 3 2 2 2 --dec_blks 1 1 2 2 2 \
-    --modelsize 1.8 -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.0015 --train_precision highest \
+    --modelsize 1.8 -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.0015 --train_precision highest --clip_max_norm 1.0 \
     --interpolation --data_split 1_1_2 
 done

@@ -11,6 +11,6 @@ for video in Beauty Bosphorus HoneyBee Jockey ReadySteadyGo YachtRide ShakeNDry;
     --crop_list 1080_1920 --resize_list -1 --loss Fusion10_freq \
     --embed pe_1.25_80 --fc_hw 9_16 \
     --dec_strds 5 3 2 2 2 --ks 0_3_3 --reduce 2 --dec_blks 1 1 2 2 2 \
-    --modelsize "$size" -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.0015 --train_precision highest
+    --modelsize "$size" -e 300 --eval_freq 30 --lower_width 12 -b 1 --lr 0.0015 --train_precision highest --clip_max_norm 1.0
 done
 done

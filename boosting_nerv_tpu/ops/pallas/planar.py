@@ -189,6 +189,27 @@ def _quant_act(x32, inv):
     return jnp.clip(jnp.round(x32 * inv), -127.0, 127.0)
 
 
+# int8 K-buffer shifted-plane strategy (W8A8 kernels only):
+#   "f32"  — roll the quantised integer-valued f32 planes, store
+#            .astype(int8) (4 f32->int8 packing stores per r1 group)
+#   "pack" — store the unshifted planes int8 FIRST, read them back,
+#            bitcast to int32 (4 packed sublanes per element), lane-roll
+#            the 32-bit view, mask, bitcast back: the rolls touch 1/4
+#            the sublanes and no extra f32->int8 packing happens
+# Exact-parity alternatives (rolls/masks of quantised values are exact
+# in either representation); selected by measurement
+# (tools/r4_i8_build_probe.py).
+I8_KBUF_ROLL = "f32"
+
+
+def _roll_packed_i8(p, shift, mask, rows32):
+    """+-1 lane-roll of an int8 (Cp, L) block via its packed int32 view.
+    mask: int32-plane predicate (rows32, L) — True keeps the rolled
+    value, False zeroes (the column-edge semantics of the f32 path)."""
+    v = pltpu.roll(pltpu.bitcast(p, jnp.int32), shift, axis=1)
+    return pltpu.bitcast(jnp.where(mask, v, jnp.int32(0)), jnp.int8)
+
+
 def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
     """Fill the (8*Cp, L) K-buffer from the f32 region x32 (4*Cp, L) —
     or from per-r1 (2*Cp, L) groups when x32 is a callable r1 -> block.
@@ -196,6 +217,7 @@ def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
     own dtype (int8 K-buffers get integer-valued f32 from a quantising
     getter; `dt` is kept for call-site compatibility)."""
     bt = buf.dtype
+    pack = bt == jnp.int8 and I8_KBUF_ROLL == "pack"
     get = x32 if callable(x32) else (
         lambda r1: lax.slice_in_dim(x32, r1 * 2 * cp, (r1 + 1) * 2 * cp,
                                     axis=0))
@@ -206,6 +228,16 @@ def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
         # vb0 + vb1: both r2 planes, unshifted — one contiguous copy
         # (lane-partial writes: the scratch may be wider than the region)
         buf[pl.ds(base, 2 * cp), pl.ds(0, lanes)] = g.astype(bt)
+        if pack:
+            p0 = buf[pl.ds(base, cp), pl.ds(0, lanes)]
+            p1 = buf[pl.ds(base + cp, cp), pl.ds(0, lanes)]
+            c32 = lax.slice_in_dim(colp, 0, cp // 4, axis=0)
+            vm = _roll_packed_i8(p1, 1, c32 > 0, cp // 4)
+            vp = _roll_packed_i8(p0, lanes - 1, c32 < wc_real - 1,
+                                 cp // 4)
+            buf[pl.ds(base + 2 * cp, cp), pl.ds(0, lanes)] = vm
+            buf[pl.ds(base + 3 * cp, cp), pl.ds(0, lanes)] = vp
+            continue
         p0 = lax.slice_in_dim(g, 0, cp, axis=0)
         p1 = lax.slice_in_dim(g, cp, 2 * cp, axis=0)
         vm = jnp.where(colp > 0, pltpu.roll(p1, 1, axis=1), 0.0)

@@ -547,32 +547,53 @@ class RegressionTrainer:
                 or not (index_only or (cfg.model == "HNeRV_Boost"
                                        and self.encode_step is not None))):
             return None
+        from ..runtime.fast_decode import (build_fast_decode_v5,
+                                           build_serving_decode)
         try:
-            from ..runtime.fast_decode import build_serving_decode
-            decode = build_serving_decode(cfg, params)
             if index_only:
                 embed = None
             else:
                 batch = self.video.get_batch([0])
                 embed = self.encode_step(params, jnp.asarray(batch["img"]))
-
-            @jax.jit
-            def decode_n(embed, ts):
-                def body(c, tt):
-                    out = decode(embed, tt[None])
-                    return c + out.astype(jnp.float32).mean(), None
-                acc, _ = jax.lax.scan(body, 0.0, ts)
-                return acc
-
-            ts = jnp.linspace(0.01, 1.0, reps)
-            float(decode_n(embed, ts))  # compile + warm (raises off-TPU)
         except Exception:
             return None
-        t0 = time.time()
-        float(decode_n(embed, ts))
-        dt = time.time() - t0
-        self.fps_decode_path = "pallas"
-        return reps / dt
+        # the serving policy's aggressive tile heights are hardware-
+        # validated only at the bench shape; any compile/VMEM failure on
+        # another shape (or HBM pressure from the live training state)
+        # retries once with the universally-safe th=8 policy before
+        # falling back to the flax decode — and says why, once.
+        builders = (
+            ("pallas", lambda: build_serving_decode(cfg, params)),
+            ("pallas-safe", lambda: build_fast_decode_v5(
+                cfg, params, planar_from_h=200, th=8)),
+        )
+        for path, mk in builders:
+            try:
+                decode = mk()
+
+                @jax.jit
+                def decode_n(embed, ts):
+                    def body(c, tt):
+                        out = decode(embed, tt[None])
+                        return c + out.astype(jnp.float32).mean(), None
+                    acc, _ = jax.lax.scan(body, 0.0, ts)
+                    return acc
+
+                ts = jnp.linspace(0.01, 1.0, reps)
+                float(decode_n(embed, ts))  # compile+warm (raises off-TPU)
+            except Exception as e:
+                if not getattr(self, "_fast_fps_warned", False):
+                    self._fast_fps_warned = True
+                    print(f"fast-decode fps path '{path}' unavailable "
+                          f"({type(e).__name__}: {str(e)[:120]}); "
+                          "trying fallback")
+                continue
+            t0 = time.time()
+            float(decode_n(embed, ts))
+            dt = time.time() - t0
+            self.fps_decode_path = path
+            return reps / dt
+        return None
 
     def evaluate(self, dump_vis: bool = False, huffman_coding: bool = False
                  ) -> Dict[str, float]:

@@ -414,6 +414,30 @@ def main():
                              c=c, wc_real=wc, th=8),
            x, tag="B+head@540 i8 nodots th=8")
 
+    # ---- production kernel with the pack-roll build ------------------ #
+    ref_out = jax.device_get(pk.fused_conv_rsft(
+        x, prep_i8, sft, c=c, wc_real=wc, head=True, th=8))
+    pk.I8_KBUF_ROLL = "pack"
+    jax.clear_caches()
+    try:
+        out_p = jax.device_get(pk.fused_conv_rsft(
+            x, prep_i8, sft, c=c, wc_real=wc, head=True, th=8))
+        eq = np.array_equal(
+            np.asarray(out_p, np.float32), np.asarray(ref_out, np.float32))
+        print(f"pack-roll production parity: "
+              f"{'EXACT' if eq else 'MISMATCH'}", flush=True)
+        for th in (8, 12, 16):
+            timeit(functools.partial(pk.fused_conv_rsft, prep=prep_i8,
+                                     sft=sft, c=c, wc_real=wc, head=True,
+                                     th=th),
+                   x, tag=f"B+head@540 i8 PACK full th={th}")
+    except Exception as e:
+        print(f"pack-roll production: FAIL {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+    finally:
+        pk.I8_KBUF_ROLL = "f32"
+        jax.clear_caches()
+
     print("I8 BUILD PROBE DONE", flush=True)
 
 

@@ -77,6 +77,30 @@ class TestOverfit:
         import jax
         assert jax.config.jax_default_matmul_precision == "highest"
 
+    def test_enerv_defaults_grad_clip(self, tmp_path):
+        """The norm-free E-NeRV trunk's activations explode without
+        global grad clipping (15.08 dB flatline vs 19.1 dB with clip=1.0
+        measured at 720p, BASELINE.md round 4): the trainer must default
+        clip_max_norm=1.0 for the ENeRV family, and an explicit value
+        must win."""
+        frames = synthetic_video(2, 8, 16)
+        cfg = tiny_cfg(tmp_path, "ENeRV_Boost", epochs=1)
+        video = VideoData(frames, cfg.interpolation, cfg.embed_inter)
+        trainer = RegressionTrainer(
+            cfg, video=video, logger=RunLogger(cfg.outf, enable_tb=False))
+        assert trainer.cfg.clip_max_norm == 1.0
+        cfg2 = tiny_cfg(tmp_path, "ENeRV_Boost", epochs=1,
+                        clip_max_norm=0.5,
+                        outf=os.path.join(str(tmp_path), "run2"))
+        t2 = RegressionTrainer(
+            cfg2, video=video, logger=RunLogger(cfg2.outf, enable_tb=False))
+        assert t2.cfg.clip_max_norm == 0.5
+        cfg3 = tiny_cfg(tmp_path, "NeRV_Boost", epochs=1,
+                        outf=os.path.join(str(tmp_path), "run3"))
+        t3 = RegressionTrainer(
+            cfg3, video=video, logger=RunLogger(cfg3.outf, enable_tb=False))
+        assert t3.cfg.clip_max_norm == 0.0
+
     def test_hnerv_plain_trains(self, tmp_path):
         frames = synthetic_video(4, 8, 16)
         cfg = tiny_cfg(tmp_path, "HNeRV", sft_block="none", embed="",

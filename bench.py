@@ -102,6 +102,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    global _T0
+    _T0 = time.perf_counter()
     _enable_compile_cache()
 
     cfg, model, params, embed = _build()
@@ -125,6 +127,21 @@ def main():
     extra = {}
     fps = fps_bf16
     mode = "bf16"
+    # soft deadline: on a cold compile cache the bf16 phase alone can eat
+    # most of a driver timeout; in that case ship the bf16 headline
+    # rather than risk being killed mid-W8A8 with no JSON emitted.
+    budget_s = float(__import__("os").environ.get("BNT_BENCH_BUDGET", 1500))
+    if time.perf_counter() - _T0 > budget_s:
+        extra = {"w8a8_skipped": f"over budget ({budget_s:.0f}s)"}
+        print(json.dumps({
+            "metric": "uvg1080p_decode_fps_per_chip",
+            "value": round(fps, 2),
+            "unit": "fps",
+            "vs_baseline": round(fps / BASELINE_TARGET_FPS, 3),
+            "serving_mode": mode,
+            **extra,
+        }))
+        return
     try:
         calib = [(embed, jnp.asarray([tv], jnp.float32))
                  for tv in (0.01, 0.25, 0.5, 0.75, 1.0)]

@@ -53,8 +53,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .tile_conv import (_ACTS, _gelu, _outimg, _preshift_into, _sin_poly,
-                        _stack_weights_dy)
+from .tile_conv import (_ACTS, _gelu, _outimg, _preshift_into,
+                        _roll_packed_i8, _sin_poly, _stack_weights_dy)
 
 TH = 8
 
@@ -202,14 +202,6 @@ def _quant_act(x32, inv):
 I8_KBUF_ROLL = "f32"
 
 
-def _roll_packed_i8(p, shift, mask, rows32):
-    """+-1 lane-roll of an int8 (Cp, L) block via its packed int32 view.
-    mask: int32-plane predicate (rows32, L) — True keeps the rolled
-    value, False zeroes (the column-edge semantics of the f32 path)."""
-    v = pltpu.roll(pltpu.bitcast(p, jnp.int32), shift, axis=1)
-    return pltpu.bitcast(jnp.where(mask, v, jnp.int32(0)), jnp.int8)
-
-
 def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
     """Fill the (8*Cp, L) K-buffer from the f32 region x32 (4*Cp, L) —
     or from per-r1 (2*Cp, L) groups when x32 is a callable r1 -> block.
@@ -232,9 +224,8 @@ def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
             p0 = buf[pl.ds(base, cp), pl.ds(0, lanes)]
             p1 = buf[pl.ds(base + cp, cp), pl.ds(0, lanes)]
             c32 = lax.slice_in_dim(colp, 0, cp // 4, axis=0)
-            vm = _roll_packed_i8(p1, 1, c32 > 0, cp // 4)
-            vp = _roll_packed_i8(p0, lanes - 1, c32 < wc_real - 1,
-                                 cp // 4)
+            vm = _roll_packed_i8(p1, 1, c32 > 0)
+            vp = _roll_packed_i8(p0, lanes - 1, c32 < wc_real - 1)
             buf[pl.ds(base + 2 * cp, cp), pl.ds(0, lanes)] = vm
             buf[pl.ds(base + 3 * cp, cp), pl.ds(0, lanes)] = vp
             continue
@@ -1166,7 +1157,8 @@ def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, i8, x_hbm,
     if i8:
         x32 = _quant_act(x32, lax.slice_in_dim(invq_ref[0], 0, cpi,
                                                axis=0))
-    _preshift_into(shbuf, x32, colp_i, wc_real, dt, cpi)
+    _preshift_into(shbuf, x32, colp_i, wc_real, dt, cpi,
+                   pack=i8 and I8_KBUF_ROLL == "pack")
     acc_t = jnp.int32 if i8 else jnp.float32
     acc = jnp.zeros((4 * cp, n_a), acc_t)
     for dy in range(3):

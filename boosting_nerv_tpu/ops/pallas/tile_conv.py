@@ -238,14 +238,37 @@ def _preshift(x32, colp, w_real, dt):
     return xm.astype(dt), x32.astype(dt), xp.astype(dt)
 
 
-def _preshift_into(buf, x32, colp, w_real, dt, cpad):
+def _roll_packed_i8(p, shift, mask):
+    """+-1 lane-roll of an int8 block via its packed int32 view (4 int8
+    sublanes per element): the roll touches 1/4 the sublanes and no
+    f32->int8 packing happens.  mask: int32-plane predicate at the packed
+    shape — True keeps the rolled value, False zeroes (the column-edge
+    semantics of the f32 roll path).  Exact: rolls/masks of quantised
+    integer values commute with the representation."""
+    v = pltpu.roll(pltpu.bitcast(p, jnp.int32), shift, axis=1)
+    return pltpu.bitcast(jnp.where(mask, v, jnp.int32(0)), jnp.int8)
+
+
+def _preshift_into(buf, x32, colp, w_real, dt, cpad, pack=False):
     """Write the dx=-1/0/+1 shifted copies into the contiguous (3*Cpad, L)
     scratch `buf` (dx-major row blocks) so that for every row offset dy the
     K=3*Cpad rhs of the conv dot is ONE static slice buf[:, dy*w:dy*w+n].
     Stores in the buffer's own dtype (int8 buffers receive pre-quantised
-    integer-valued f32; `dt` kept for call-site compatibility)."""
-    xm, x0, xp = _preshift(x32, colp, w_real, buf.dtype)
+    integer-valued f32; `dt` kept for call-site compatibility).  pack:
+    int8 buffers only — store the unshifted block first and build the
+    shifted copies with packed-int32 lane rolls of the stored int8."""
     lanes = x32.shape[1]  # lane-partial: the scratch may be wider
+    if pack:
+        assert buf.dtype == jnp.int8 and cpad % 4 == 0, (buf.dtype, cpad)
+        buf[pl.ds(cpad, cpad), pl.ds(0, lanes)] = x32.astype(jnp.int8)
+        x8 = buf[pl.ds(cpad, cpad), pl.ds(0, lanes)]
+        c32 = lax.slice_in_dim(colp, 0, cpad // 4, axis=0)
+        buf[pl.ds(0, cpad), pl.ds(0, lanes)] = _roll_packed_i8(
+            x8, 1, c32 > 0)
+        buf[pl.ds(2 * cpad, cpad), pl.ds(0, lanes)] = _roll_packed_i8(
+            x8, lanes - 1, c32 < w_real - 1)
+        return
+    xm, x0, xp = _preshift(x32, colp, w_real, buf.dtype)
     buf[pl.ds(0, cpad), pl.ds(0, lanes)] = xm
     buf[pl.ds(cpad, cpad), pl.ds(0, lanes)] = x0
     buf[pl.ds(2 * cpad, cpad), pl.ds(0, lanes)] = xp

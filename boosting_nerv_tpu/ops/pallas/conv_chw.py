@@ -22,6 +22,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._util import pallas_call as _precision_safe_pallas_call
+
 from .fused_sft import _dot9, _shifted_triplet
 
 TH = 8
@@ -65,7 +67,7 @@ def _run(x, w9, b, c_out, act, interpret):
     hp = (grid - 1) * TH + DMA_ROWS
     xp = jnp.pad(x, ((0, 0), (1, hp - h - 1), (0, 0)))
     kernel = functools.partial(_conv_kernel, h, c_out, act)
-    return pl.pallas_call(
+    return _precision_safe_pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),

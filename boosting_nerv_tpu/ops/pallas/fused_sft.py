@@ -31,6 +31,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._util import pallas_call as _precision_safe_pallas_call
+
 TH = 8          # output rows per grid step
 HALO = 2        # two stacked 3x3 convs
 DMA_ROWS = 16   # sublane-aligned VMEM tile height (TH + 2*HALO rounded to 8)
@@ -150,7 +152,7 @@ def resblock_sft_chw(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
     sft = jnp.stack([scale0, shift0, scale1, shift1]).astype(jnp.float32)
     sft = sft[:, :, None]  # (4, C, 1)
     kernel = functools.partial(_kernel, h, input_sin)
-    return pl.pallas_call(
+    return _precision_safe_pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[

@@ -53,6 +53,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._util import pallas_call as _precision_safe_pallas_call
 from .tile_conv import (_ACTS, _gelu, _outimg, _preshift_into,
                         _roll_packed_i8, _sin_poly, _stack_weights_dy)
 
@@ -343,7 +344,7 @@ def conv_planar(xp, kernel, bias, *, c_in, c_out, wc_real, act="none",
     b = _planar_bias(bias, cpo)
     fn = functools.partial(_conv_planar_kernel, wc_real, wd, n_in_rows, cp,
                            cpo, act)
-    out = pl.pallas_call(
+    out = _precision_safe_pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
@@ -430,7 +431,7 @@ def rsft_planar(xp, w0, b0, w1, b1, scale0, shift0, scale1, shift1, *,
                      (scale0, shift0, scale1, shift1)])
     planes = _region_planes(2 * cp, th + 4, wd)
     fn = functools.partial(_rsft_planar_kernel, hc_real, wc_real, wd, cp)
-    out = pl.pallas_call(
+    out = _precision_safe_pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
@@ -1244,7 +1245,7 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
         inputs = (xf, prep["wup"], prep["bup"], prep["h0"], prep["f0"],
                   prep["b0"], prep["h1"], prep["f1"], prep["b1"], sft,
                   planes, invq, scq)
-    out = pl.pallas_call(
+    out = _precision_safe_pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
@@ -1440,7 +1441,7 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
         inputs = (xf, prep["hc"], prep["fc"], prep["bc"], prep["h0"],
                   prep["f0"], prep["b0"], prep["h1"], prep["f1"],
                   prep["b1"], hh, fh, bh, sft, planes, invq, scq)
-    out = pl.pallas_call(
+    out = _precision_safe_pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]

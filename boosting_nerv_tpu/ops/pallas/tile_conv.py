@@ -41,6 +41,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._util import pallas_call as _precision_safe_pallas_call
+
 TH = 8  # output rows per grid step
 
 
@@ -163,7 +165,7 @@ def conv_tile(x, kernel, bias, *, k, w_real=None, interpret=False):
     b = jnp.zeros((copad, 1), jnp.float32).at[:kernel.shape[3], 0].set(
         bias.astype(jnp.float32))
     fn = functools.partial(_conv_kernel, k, h, w_real, wd, n_in_rows)
-    out = pl.pallas_call(
+    out = _precision_safe_pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -494,7 +496,7 @@ def conv_tile_v3(x, kernel, bias, *, k, w_real=None, th=TH, mode="stack",
         sh_shape = ((k if k == 3 else 1) * cpad, n_in_rows * wd)
         fn = functools.partial(_conv_kernel_v3x2, k, h, w_real, wd, th,
                                act)
-        out = pl.pallas_call(
+        out = _precision_safe_pallas_call(
             fn,
             grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -542,7 +544,7 @@ def conv_tile_v3(x, kernel, bias, *, k, w_real=None, th=TH, mode="stack",
     colp = _index_planes(cpad, n_in_rows, wd)[1]
     fn = functools.partial(_conv_kernel_v3, k, h, w_real, wd, n_in_rows,
                            mode, act)
-    out = pl.pallas_call(
+    out = _precision_safe_pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -824,7 +826,7 @@ def resblock_sft_tile_v3(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
     sft = sft[:, :, None]
     if mode == "dy3x2":
         fn = functools.partial(_rsft_kernel_v3x2, h, w_real, wd, th)
-        out = pl.pallas_call(
+        out = _precision_safe_pallas_call(
             fn,
             grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
@@ -858,7 +860,7 @@ def resblock_sft_tile_v3(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
         shbuf_shape = (3, cpad, (th + 4) * wd)
         mrows_shape = (3, cpad, (th + 2) * wd)
     fn = functools.partial(_rsft_kernel_v3, h, w_real, wd, mode, th)
-    out = pl.pallas_call(
+    out = _precision_safe_pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
@@ -970,7 +972,7 @@ def resblock_sft_tile(x, w0, b0, w1, b1, scale0, shift0, scale1, shift1,
         sft = sft.at[j, :c].set(v.astype(jnp.float32))
     sft = sft[:, :, None]
     fn = functools.partial(_rsft_kernel, h, w_real, wd)
-    out = pl.pallas_call(
+    out = _precision_safe_pallas_call(
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]

@@ -28,7 +28,7 @@ CEM="--lr_type cosine_0_1_0.1 --embed_entropy \
   --lambda_rate 0.05"
 
 for tb in 4 2 6; do
-  timeout 1800 python train_nerv_compression.py --outf r4_cem_tb$tb \
+  timeout 2700 python train_nerv_compression.py --outf r4_cem_tb$tb \
     $COMMON --modelsize 1.275 -e 15 --eval_freq 15 -b 1 --lr 0.0005 \
     $CEM --target_bit $tb --eval_only \
     > /tmp/r4_cem_eval_tb$tb.log 2>&1

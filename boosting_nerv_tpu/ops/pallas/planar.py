@@ -528,8 +528,19 @@ def sft_planar_vectors(scale0, shift0, scale1, shift1, cp):
 #
 # The round-4 nodots/noprolog split (CLAUDE.md) shows the 540-grid stage
 # kernels are DOT-bound; v5e runs int8 MXU dots at 2x the bf16 rate and
-# an int8 K-buffer halves its VMEM traffic (hardware-measured: the dot
-# chain drops 12.78 -> 6.4-6.6 ms at the B+head@540 shape).  Scheme:
+# an int8 K-buffer halves its VMEM traffic (hardware-measured: the
+# dots+epilogues chain drops 12.78 -> 6.4-6.6 ms at the B+head@540
+# shape when the K-bufs are never VPU-written).  The FULL serialized i8
+# kernel does NOT realize the 2x at the same tile (13.87 vs 13.69 bf16
+# iso, tools/r4_i8_build_probe.py): the f32->int8 convert+pack stores
+# of the quantising K-buf builds cost ~7 ms/kernel — it is the
+# conversion VOLUME, not buffer-layout poisoning (a 4 KB VPU store
+# into an otherwise-unwritten K-buf changes nothing: 8.35 vs 8.33 ms,
+# tools/r4_layout_probe.py).  The shipped i8 win is therefore the VMEM
+# headroom (int8 K-bufs fit th=12 UN-chunked -> 33.4 vs 32.6 fps E2E);
+# I8_KBUF_ROLL="pack" (below) halves the convert volume and is
+# bitwise-exact standalone but still SIGABRTs Mosaic inside the full
+# stage kernels — candidate for the next round.  Scheme:
 # per-fine-channel symmetric activation scales (s_x = bound/127, from
 # runtime.fast_decode.calibrate_planar_bounds) fold into the weight
 # K-columns BEFORE quantisation, per-output-row weight scales dequant

@@ -203,7 +203,7 @@ def b_head_i8_nodots(xp, prep, sft, *, c, wc_real, th=8):
         fn,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=pl.BlockSpec((64, th * wd), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((64, hc * wd), xp.dtype),

@@ -74,7 +74,12 @@ class BoostConfig:
     lr_type: str = "cosine_0.1_1_0.1"
     loss: str = "Fusion6"
     optim_type: str = "Adan"
-    clip_max_norm: float = 0.0
+    # None = unset (reference CLI default 0.0 = clipping disabled;
+    # train_nerv_all.py:79).  The ENeRV family substitutes 1.0 when unset
+    # (measured necessity, BASELINE.md round 4) — an EXPLICIT 0.0 disables
+    # clipping even there, so the unclipped reference dynamics stay
+    # reproducible.
+    clip_max_norm: Optional[float] = None
     inpanting: str = "none"
     interpolation: bool = False
     embed_inter: bool = False

@@ -51,7 +51,7 @@ METRIC_NAMES = [
 ]
 
 
-def make_optimizer(optim_type: str, clip_max_norm: float = 0.0):
+def make_optimizer(optim_type: str, clip_max_norm: Optional[float] = 0.0):
     """Adan (reference default) or Adam; LR injected per step.
     The reference's case-sensitive dispatch crash on the lowercase default
     (train_nerv_all.py:78,260-263) is fixed by case-insensitive matching."""
@@ -70,7 +70,7 @@ def make_optimizer(optim_type: str, clip_max_norm: float = 0.0):
     else:
         raise ValueError(f"unknown optim_type {optim_type}")
 
-    if clip_max_norm > 0:
+    if clip_max_norm and clip_max_norm > 0:
         clipper = optax.clip_by_global_norm(clip_max_norm)
 
         def update2(grads, state, params=None, *, lr=None):
@@ -125,11 +125,15 @@ class RegressionTrainer:
                       "'highest': the E-NeRV transformer trunk diverges "
                       "below full matmul precision (measured, BASELINE.md)")
                 cfg = cfg.replace(train_precision="highest")
-            if cfg.clip_max_norm == 0.0:
-                print("clip_max_norm 0.0 -> 1.0: the E-NeRV trunk's "
+            if cfg.clip_max_norm is None:
+                print("clip_max_norm unset -> 1.0: the E-NeRV trunk's "
                       "norm-free residuals need grad clipping on this "
-                      "stack (measured, BASELINE.md round 4)")
+                      "stack (measured, BASELINE.md round 4); pass an "
+                      "explicit --clip_max_norm 0 to disable")
                 cfg = cfg.replace(clip_max_norm=1.0)
+            self.cfg0 = cfg
+        if cfg.clip_max_norm is None:
+            cfg = cfg.replace(clip_max_norm=0.0)
             self.cfg0 = cfg
         jax.config.update("jax_default_matmul_precision", cfg.train_precision)
 

@@ -100,6 +100,14 @@ class TestOverfit:
         t3 = RegressionTrainer(
             cfg3, video=video, logger=RunLogger(cfg3.outf, enable_tb=False))
         assert t3.cfg.clip_max_norm == 0.0
+        # an EXPLICIT 0.0 disables clipping even for the ENeRV family
+        # (the reference's default dynamics stay reproducible)
+        cfg4 = tiny_cfg(tmp_path, "ENeRV_Boost", epochs=1,
+                        clip_max_norm=0.0,
+                        outf=os.path.join(str(tmp_path), "run4"))
+        t4 = RegressionTrainer(
+            cfg4, video=video, logger=RunLogger(cfg4.outf, enable_tb=False))
+        assert t4.cfg.clip_max_norm == 0.0
 
     def test_hnerv_plain_trains(self, tmp_path):
         frames = synthetic_video(4, 8, 16)

@@ -61,7 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--loss', type=str, default='Fusion6')
     p.add_argument('--out_bias', default='tanh', type=str)
     p.add_argument('--optim_type', default='adan', type=str)
-    p.add_argument('--clip_max_norm', default=0., type=float)
+    # default None = unset (reference default 0. = disabled); an explicit
+    # 0 disables clipping even for the ENeRV family (which substitutes 1.0
+    # only when the flag was not given — trainer.py)
+    p.add_argument('--clip_max_norm', default=None, type=float)
     p.add_argument('--inpanting', default='none', type=str)
     p.add_argument('--interpolation', action='store_true', default=False)
     p.add_argument('--embed_inter', action='store_true', default=False)

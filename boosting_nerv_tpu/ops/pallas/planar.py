@@ -239,6 +239,66 @@ def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
         buf[pl.ds(base + 3 * cp, cp), pl.ds(0, lanes)] = vp.astype(bt)
 
 
+def _roll_pm1_i8(p8, colp, wc_real, cp, lanes):
+    """(vm, vp) +-1 lane-rolls of the int8 (2*Cp, L) group [p0; p1]
+    (zero-convert builds).  'pack' rolls the packed-int32 bitcast view
+    (touches 1/4 the sublanes, zero converts); the fallback widens to
+    f32 for the roll and re-packs — 4*Cp packing stores per build vs the
+    8*Cp of a quantising build.  Exact either way: rolls/masks of int8
+    codes commute with the representation."""
+    p0 = lax.slice_in_dim(p8, 0, cp, axis=0)
+    p1 = lax.slice_in_dim(p8, cp, 2 * cp, axis=0)
+    if I8_KBUF_ROLL == "pack":
+        c32 = lax.slice_in_dim(colp, 0, cp // 4, axis=0)
+        vm = _roll_packed_i8(p1, 1, c32 > 0)
+        vp = _roll_packed_i8(p0, lanes - 1, c32 < wc_real - 1)
+        return vm, vp
+    vm = jnp.where(colp > 0,
+                   pltpu.roll(p1.astype(jnp.float32), 1, axis=1), 0.0)
+    vp = jnp.where(colp < wc_real - 1,
+                   pltpu.roll(p0.astype(jnp.float32), lanes - 1, axis=1),
+                   0.0)
+    return vm.astype(jnp.int8), vp.astype(jnp.int8)
+
+
+def _build_kbuf_i8(buf, get8, colp, wc_real, cp):
+    """Zero-convert _build_kbuf for an ALREADY-int8 source: the
+    unshifted vb0/vb1 planes are int8->int8 copies and the rolled
+    vb2/vb3 planes come from _roll_pm1_i8 — no f32->int8 quantisation
+    anywhere (the round-4 decomposition showed the quantising builds'
+    convert+pack store volume is ~half the i8 kernel time;
+    tools/r4_i8_build_probe.py).  get8(r1) -> (2*Cp, L) int8."""
+    for r1 in (0, 1):
+        g = get8(r1)
+        lanes = g.shape[1]
+        base = r1 * 4 * cp
+        buf[pl.ds(base, 2 * cp), pl.ds(0, lanes)] = g
+        vm, vp = _roll_pm1_i8(g, colp, wc_real, cp, lanes)
+        buf[pl.ds(base + 2 * cp, cp), pl.ds(0, lanes)] = vm
+        buf[pl.ds(base + 3 * cp, cp), pl.ds(0, lanes)] = vp
+
+
+def _preshift_i8(buf, x8, colp, w_real, cpad):
+    """Zero-convert _preshift_into for an already-int8 (Cpad, L) block:
+    dx=0 is a copy, dx=+-1 via _roll_pm1_i8 on the doubled group."""
+    lanes = x8.shape[1]
+    buf[pl.ds(cpad, cpad), pl.ds(0, lanes)] = x8
+    if I8_KBUF_ROLL == "pack":
+        x8r = buf[pl.ds(cpad, cpad), pl.ds(0, lanes)]
+        c32 = lax.slice_in_dim(colp, 0, cpad // 4, axis=0)
+        xm = _roll_packed_i8(x8r, 1, c32 > 0)
+        xp = _roll_packed_i8(x8r, lanes - 1, c32 < w_real - 1)
+    else:
+        xf = x8.astype(jnp.float32)
+        xm = jnp.where(colp > 0, pltpu.roll(xf, 1, axis=1),
+                       0.0).astype(jnp.int8)
+        xp = jnp.where(colp < w_real - 1,
+                       pltpu.roll(xf, lanes - 1, axis=1),
+                       0.0).astype(jnp.int8)
+    buf[pl.ds(0, cpad), pl.ds(0, lanes)] = xm
+    buf[pl.ds(2 * cpad, cpad), pl.ds(0, lanes)] = xp
+
+
 def _planar_dots(buf, half_ref, full_ref, cp, cpo, wd, nout, merge=True,
                  sc=None):
     """The planar conv dots; returns f32 per-py (2*Cpo, nout) accs.
@@ -560,6 +620,15 @@ def _inv_from_bound(bound):
     return jnp.where(b > 1e-12, 127.0 / jnp.maximum(b, 1e-12), 0.0)
 
 
+def out_quant_vec(bound, cp):
+    """Per-fine-channel |x| bound of the NEXT stage's input -> (4*Cp, 1)
+    f32 planar quantisation multiplier: the producing stage's `out_inv`
+    (zero-convert chain — it emits exactly the int8 codes the consumer's
+    folded weights expect)."""
+    return _planar_vec(_inv_from_bound(jnp.asarray(bound, jnp.float32)),
+                       cp)
+
+
 def _quant_rows(half, full):
     """f32 (2, 2*Cpo, 4*Cp) half + (4*Cpo, 8*Cp) full -> int8 mats and
     the (4*Cpo, 1) f32 per-output-row scale, SHARED between the half and
@@ -694,19 +763,30 @@ def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
         lax.slice_in_dim(s1, 2 * cp, 4 * cp, axis=0) + \
         lax.slice_in_dim(h1v, 2 * cp, 4 * cp, axis=0)
     okm = lax.slice_in_dim(in_frame, wd, wd + nmid, axis=1)
-    mid[pl.ds(0, 2 * cp), :] = jnp.where(okm, m0, 0.0).astype(dt)
-    mid[pl.ds(2 * cp, 2 * cp), :] = jnp.where(okm, m1, 0.0).astype(dt)
-
-    if q is None:
-        src1 = mid[...].astype(jnp.float32)
+    if q is not None:
+        # zero-convert: quantise in THIS epilogue store (the store was
+        # happening anyway — same volume, half the bytes) so the conv1
+        # K-buf build below is pure int8 copies + rolls
+        m0 = _quant_act(jnp.where(okm, m0, 0.0),
+                        lax.slice_in_dim(inv1, 0, 2 * cp, axis=0))
+        m1 = _quant_act(jnp.where(okm, m1, 0.0),
+                        lax.slice_in_dim(inv1, 2 * cp, 4 * cp, axis=0))
+        mid[pl.ds(0, 2 * cp), :] = m0.astype(jnp.int8)
+        mid[pl.ds(2 * cp, 2 * cp), :] = m1.astype(jnp.int8)
     else:
-        def src1(r1):
-            g = mid[pl.ds(r1 * 2 * cp, 2 * cp), :].astype(jnp.float32)
-            return _quant_act(g, lax.slice_in_dim(
-                inv1, r1 * 2 * cp, (r1 + 1) * 2 * cp, axis=0))
+        mid[pl.ds(0, 2 * cp), :] = jnp.where(okm, m0, 0.0).astype(dt)
+        mid[pl.ds(2 * cp, 2 * cp), :] = jnp.where(okm, m1, 0.0).astype(dt)
+
     colm = lax.slice_in_dim(
         lax.slice_in_dim(colp2, 0, cp, axis=0), 0, nmid, axis=1)
-    _build_kbuf(kb2, src1, colm, wc_real, cp, dt)
+    if q is None:
+        _build_kbuf(kb2, mid[...].astype(jnp.float32), colm, wc_real, cp,
+                    dt)
+    else:
+        def src1(r1):
+            return mid[pl.ds(r1 * 2 * cp, 2 * cp), :]
+
+        _build_kbuf_i8(kb2, src1, colm, wc_real, cp)
     r0, r1 = _planar_dots(kb2, h1_ref, f1_ref, cp, cp, wd, nout,
                           merge=merge, sc=sc1)
     for py, r in ((0, r0), (1, r1)):
@@ -1130,19 +1210,24 @@ def _conv_rsft_kernel_ck(hc_real, wc_real, wd, cp, th, head, nck, split,
                   src_ref=rbuf if split else None)
 
 
-def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, i8, x_hbm,
-                        wup_ref, bup_ref, h0_ref, f0_ref, b0_ref, h1_ref,
-                        f1_ref, b1_ref, sft_ref, planes_ref, invq_ref,
-                        scq_ref, out_ref, xtile, shbuf, kb1, mid, kb2,
-                        sem):
+def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, i8, i8_in,
+                        out_q, x_hbm, wup_ref, bup_ref, h0_ref, f0_ref,
+                        b0_ref, h1_ref, f1_ref, b1_ref, sft_ref,
+                        planes_ref, invq_ref, scq_ref, outq_ref, out_ref,
+                        xtile, shbuf, kb1, mid, kb2, sem):
     """Stage kernel A: stride-2 upconv -> sin -> TAT block, all fused.
     x_hbm: (Cpi, Hp*wd) interleaved input with THREE zero halo rows.
     i8: W8A8 mode — wup/h0/f0/h1/f1 hold int8 mats, shbuf/kb1/kb2 are
     int8 scratch, invq_ref (3, 4*Cp, 1) = [x (rows 0..Cpi), t0, t1]
     quantisation multipliers, scq_ref (3, 4*Cp, 1) = [up, conv0, conv1]
-    dequant row scales."""
+    dequant row scales.  i8_in: x_hbm already holds int8 codes at the
+    "x" bound — the upconv staging build is zero-convert.  out_q:
+    quantise the block output with outq_ref (4*Cp, 1) and emit int8."""
     nout = out_ref.shape[1]
-    dt = out_ref.dtype
+    dt = jnp.int8 if out_q else out_ref.dtype
+    # compute/mid store dtype (mid is int8 only in W8A8 mode, where the
+    # q-branch of _rsft_chain quantises its own stores)
+    bdt = jnp.bfloat16 if mid.dtype == jnp.int8 else mid.dtype
     i = pl.program_id(0)
     lanes_in = (th + 6) * wd
     n_a = (th + 4) * wd
@@ -1164,13 +1249,16 @@ def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, i8, x_hbm,
 
     cp_dma(i, slot).wait()
 
-    x32 = xtile[slot].astype(jnp.float32)
     colp_i = _col_plane(cpi, lanes_in, wd)
-    if i8:
-        x32 = _quant_act(x32, lax.slice_in_dim(invq_ref[0], 0, cpi,
-                                               axis=0))
-    _preshift_into(shbuf, x32, colp_i, wc_real, dt, cpi,
-                   pack=i8 and I8_KBUF_ROLL == "pack")
+    if i8_in:
+        _preshift_i8(shbuf, xtile[slot], colp_i, wc_real, cpi)
+    else:
+        x32 = xtile[slot].astype(jnp.float32)
+        if i8:
+            x32 = _quant_act(x32, lax.slice_in_dim(invq_ref[0], 0, cpi,
+                                                   axis=0))
+        _preshift_into(shbuf, x32, colp_i, wc_real, bdt, cpi,
+                       pack=i8 and I8_KBUF_ROLL == "pack")
     acc_t = jnp.int32 if i8 else jnp.float32
     acc = jnp.zeros((4 * cp, n_a), acc_t)
     for dy in range(3):
@@ -1185,22 +1273,32 @@ def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, i8, x_hbm,
         q = None
 
     def out_write(py, val):
+        if out_q:
+            val = _quant_act(val, lax.slice_in_dim(
+                outq_ref[...], py * 2 * cp, (py + 1) * 2 * cp, axis=0))
         out_ref[pl.ds(py * 2 * cp, 2 * cp), :] = val.astype(dt)
 
-    _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, dt, a32, planes_ref,
-                sft_ref, h0_ref, f0_ref, b0_ref, h1_ref, f1_ref, b1_ref,
-                kb1, mid, kb2, out_write, q=q)
+    _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, bdt, a32,
+                planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
+                f1_ref, b1_ref, kb1, mid, kb2, out_write, q=q)
 
 
 def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
-                      split=False, interpret=False):
+                      split=False, i8_in=False, out_inv=None,
+                      interpret=False):
     """Stage kernel A wrapper.  x: (C_in, Hc, Wd) interleaved bf16 on the
     coarse grid (Wd a power of two); prep: prepare_upconv_rsft output;
     sft: (4, 4*Cp, 1) planar SFT vectors.  Returns (4*Cp, Hc, Wd) planar
     — the stage's fine (C, 2*Hc, 2*Wc) output.  nck>0 selects the
     chunked/software-pipelined kernel with nck chunks per conv; split
     additionally reads unshifted dot planes straight from the resident
-    sources (half the prologue stores; requires nck >= 1)."""
+    sources (half the prologue stores; requires nck >= 1).
+
+    Zero-convert W8A8 plumbing (serialized kernels only): i8_in=True
+    declares x an int8 tensor already quantised at this stage's "x"
+    bound (the producer emitted it via ITS out_inv); out_inv, a (4*Cp,)
+    or (4*Cp, 1) f32 quantisation multiplier, makes THIS stage emit its
+    output as int8 codes for the next stage's i8_in."""
     ci, hc, wd = x.shape
     assert wd & (wd - 1) == 0 and wd >= 128, wd
     cpi = _round16(c_in)
@@ -1208,7 +1306,12 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
     i8 = bool(prep.get("i8"))
     assert not (i8 and (nck > 0 or split)), \
         "int8 stage kernels are serialized-only (nck=0, no split)"
+    assert not ((i8_in or out_inv is not None) and nck > 0), \
+        "zero-convert i8 plumbing is serialized-only (nck=0)"
+    assert not i8_in or (i8 and x.dtype == jnp.int8), (i8, x.dtype)
     kdt = jnp.int8 if i8 else x.dtype
+    out_dt = (jnp.int8 if out_inv is not None
+              else (jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype))
     grid = pl.cdiv(hc, th)
     hp = grid * th + 6
     xf = jnp.pad(x, ((0, cpi - ci), (3, hp - hc - 3), (0, 0)))
@@ -1217,6 +1320,8 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
     dq = jnp.zeros((2, 8, 1), jnp.float32)
     invq = prep.get("invq", dq)
     scq = prep.get("scq", dq)
+    outq = (jnp.zeros((8, 1), jnp.float32) if out_inv is None
+            else jnp.asarray(out_inv, jnp.float32).reshape(4 * cp, 1))
     assert not (split and nck == 0), "split mode requires nck >= 1"
     if nck > 0:
         q_up = _chunk_plan(th + 4, nck)[0][1]
@@ -1238,12 +1343,12 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
         ]
     else:
         fn = functools.partial(_upconv_rsft_kernel, hc, wc_real, wd, cpi,
-                               cp, th, i8)
+                               cp, th, i8, i8_in, out_inv is not None)
         scratch = [
             pltpu.VMEM((2, cpi, (th + 6) * wd), x.dtype),
             pltpu.VMEM((3 * cpi, (th + 6) * wd), kdt),
             pltpu.VMEM((8 * cp, (th + 4) * wd), kdt),
-            pltpu.VMEM((4 * cp, (th + 2) * wd), x.dtype),
+            pltpu.VMEM((4 * cp, (th + 2) * wd), kdt),
             pltpu.VMEM((8 * cp, (th + 2) * wd), kdt),
             pltpu.SemaphoreType.DMA((2,)),
         ]
@@ -1255,7 +1360,7 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
     else:
         inputs = (xf, prep["wup"], prep["bup"], prep["h0"], prep["f0"],
                   prep["b0"], prep["h1"], prep["f1"], prep["b1"], sft,
-                  planes, invq, scq)
+                  planes, invq, scq, outq)
     out = _precision_safe_pallas_call(
         fn,
         grid=(grid,),
@@ -1263,7 +1368,7 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 1),
         out_specs=pl.BlockSpec((4 * cp, th * wd), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4 * cp, hc * wd), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((4 * cp, hc * wd), out_dt),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
@@ -1272,18 +1377,24 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
     return out.reshape(4 * cp, hc, wd)
 
 
-def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, i8, x_hbm,
-                      hc_ref, fc_ref, bc_ref, h0_ref, f0_ref, b0_ref,
-                      h1_ref, f1_ref, b1_ref, hh_ref, fh_ref, bh_ref,
-                      sft_ref, planes_ref, invq_ref, scq_ref, out_ref,
-                      xtile, cbuf, kb1, mid, kb2, rbuf, sem):
+def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, i8, i8_in,
+                      out_q, x_hbm, hc_ref, fc_ref, bc_ref, h0_ref,
+                      f0_ref, b0_ref, h1_ref, f1_ref, b1_ref, hh_ref,
+                      fh_ref, bh_ref, sft_ref, planes_ref, invq_ref,
+                      scq_ref, outq_ref, out_ref, xtile, cbuf, kb1, mid,
+                      kb2, rbuf, sem):
     """Stage kernel B: planar conv -> sin -> TAT block [-> head+OutImg].
     x_hbm: planar with `halo` zero coarse rows (4 with head, 3 without).
     i8: W8A8 mode — conv/TAT/head weight refs hold the int8 mats, kb1/kb2
     are int8 scratch, invq_ref (4, 4*Cp, 1) holds the per-conv-input
     quantisation multipliers [x, t0, t1, h] and scq_ref (4, 4*Cp, 1) the
-    per-output-row dequant scales [conv, conv0, conv1, head(pad)]."""
-    dt = out_ref.dtype
+    per-output-row dequant scales [conv, conv0, conv1, head(pad)].
+    i8_in: x_hbm already holds int8 codes at the "x" bound (the
+    producing stage quantised in ITS epilogue) — the pre-conv K-buf
+    build is zero-convert.  out_q: quantise the block output with
+    outq_ref (4*Cp, 1) and emit int8 (the next stage's i8_in input)."""
+    dt = jnp.int8 if out_q else out_ref.dtype
+    bdt = cbuf.dtype
     i = pl.program_id(0)
     halo = 4 if head else 3
     lanes_in = (th + 2 * halo) * wd
@@ -1308,9 +1419,19 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, i8, x_hbm,
     cp_dma(i, slot).wait()
 
     # planar conv + sin -> cbuf (region rows i*th - halo + 1 ..)
-    x32 = xtile[slot].astype(jnp.float32)
     colp = _col_plane(cp, lanes_in, wd)
-    if i8:
+    if i8_in:
+        x8 = xtile[slot]
+
+        def src_x8(r1):
+            return lax.slice_in_dim(x8, r1 * 2 * cp, (r1 + 1) * 2 * cp,
+                                    axis=0)
+
+        _build_kbuf_i8(kb1, src_x8, colp, wc_real, cp)
+        scc = scq_ref[0]
+        q = (invq_ref[1], scq_ref[1], invq_ref[2], scq_ref[2])
+    elif i8:
+        x32 = xtile[slot].astype(jnp.float32)
         invx = invq_ref[0]
 
         def src_x(r1):
@@ -1320,77 +1441,95 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, i8, x_hbm,
                 lax.slice_in_dim(invx, r1 * 2 * cp, (r1 + 1) * 2 * cp,
                                  axis=0))
 
-        _build_kbuf(kb1, src_x, colp, wc_real, cp, dt)
+        _build_kbuf(kb1, src_x, colp, wc_real, cp, bdt)
         scc = scq_ref[0]
         q = (invq_ref[1], scq_ref[1], invq_ref[2], scq_ref[2])
     else:
-        _build_kbuf(kb1, x32, colp, wc_real, cp, dt)
+        x32 = xtile[slot].astype(jnp.float32)
+        _build_kbuf(kb1, x32, colp, wc_real, cp, bdt)
         scc = q = None
     c0, c1 = _planar_dots(kb1, hc_ref, fc_ref, cp, cp, wd, n_c,
                           merge=not head, sc=scc)
     cbuf[pl.ds(0, 2 * cp), :] = _sin_poly(
-        c0 + bc_ref[pl.ds(0, 2 * cp)]).astype(dt)
+        c0 + bc_ref[pl.ds(0, 2 * cp)]).astype(bdt)
     cbuf[pl.ds(2 * cp, 2 * cp), :] = _sin_poly(
-        c1 + bc_ref[pl.ds(2 * cp, 2 * cp)]).astype(dt)
+        c1 + bc_ref[pl.ds(2 * cp, 2 * cp)]).astype(bdt)
 
     c32 = cbuf[...].astype(jnp.float32)
     if not head:
         def out_write(py, val):
+            if out_q:
+                val = _quant_act(val, lax.slice_in_dim(
+                    outq_ref[...], py * 2 * cp, (py + 1) * 2 * cp,
+                    axis=0))
             out_ref[pl.ds(py * 2 * cp, 2 * cp), :] = val.astype(dt)
 
-        _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, dt, c32,
+        _rsft_chain(i * th, th, wd, cp, hc_real, wc_real, bdt, c32,
                     planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
                     f1_ref, b1_ref, kb1, mid, kb2, out_write, q=q)
         return
 
     # with head: TAT emits th+2 rows into rbuf (masked), head eats them.
-    # rbuf region rows: i*th - 1 + r.
+    # rbuf region rows: i*th - 1 + r.  In i8 mode rbuf holds int8 codes
+    # at the "h" bound (quantised here, in the store that was happening
+    # anyway) so the head K-buf build is zero-convert.
     thr = th + 2
     rowr = planes_ref[0, :, pl.ds(0, n_r)] + (i * th - 1)
     colr = planes_ref[1, :, pl.ds(0, n_r)]
     ok_r = (rowr >= 0) & (rowr < hc_real) & (colr < wc_real)
 
-    def out_write_r(py, val):
-        rbuf[pl.ds(py * 2 * cp, 2 * cp), :] = jnp.where(
-            ok_r, val, 0.0).astype(dt)
+    if q is not None:
+        invh = invq_ref[3]
 
-    _rsft_chain(i * th - 1, thr, wd, cp, hc_real, wc_real, dt, c32,
+        def out_write_r(py, val):
+            val = _quant_act(
+                jnp.where(ok_r, val, 0.0),
+                lax.slice_in_dim(invh, py * 2 * cp, (py + 1) * 2 * cp,
+                                 axis=0))
+            rbuf[pl.ds(py * 2 * cp, 2 * cp), :] = val.astype(jnp.int8)
+    else:
+        def out_write_r(py, val):
+            rbuf[pl.ds(py * 2 * cp, 2 * cp), :] = jnp.where(
+                ok_r, val, 0.0).astype(bdt)
+
+    _rsft_chain(i * th - 1, thr, wd, cp, hc_real, wc_real, bdt, c32,
                 planes_ref, sft_ref, h0_ref, f0_ref, b0_ref, h1_ref,
                 f1_ref, b1_ref, kb1, mid, kb2, out_write_r, merge=False,
                 q=q)
 
     colh = _col_plane(cp, n_r, wd)
     if i8:
-        invh = invq_ref[3]
+        def src_h8(r1):
+            return rbuf[pl.ds(r1 * 2 * cp, 2 * cp), :]
 
-        def src_h(r1):
-            return _quant_act(
-                rbuf[pl.ds(r1 * 2 * cp, 2 * cp), :].astype(jnp.float32),
-                lax.slice_in_dim(invh, r1 * 2 * cp, (r1 + 1) * 2 * cp,
-                                 axis=0))
-
-        _build_kbuf(kb1, src_h, colh, wc_real, cp, dt)
+        _build_kbuf_i8(kb1, src_h8, colh, wc_real, cp)
         sch = lax.slice_in_dim(scq_ref[3], 0, 64, axis=0)
     else:
         _build_kbuf(kb1, rbuf[...].astype(jnp.float32), colh, wc_real,
-                    cp, dt)
+                    cp, bdt)
         sch = None
     h0o, h1o = _planar_dots(kb1, hh_ref, fh_ref, cp, 16, wd, th * wd,
                             merge=False, sc=sch)
     out_ref[pl.ds(0, 32), :] = _outimg(
-        h0o + bh_ref[pl.ds(0, 32)]).astype(dt)
+        h0o + bh_ref[pl.ds(0, 32)]).astype(out_ref.dtype)
     out_ref[pl.ds(32, 32), :] = _outimg(
-        h1o + bh_ref[pl.ds(32, 32)]).astype(dt)
+        h1o + bh_ref[pl.ds(32, 32)]).astype(out_ref.dtype)
 
 
 def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
-                    nck=0, split=False, interpret=False):
+                    nck=0, split=False, i8_in=False, out_inv=None,
+                    interpret=False):
     """Stage kernel B wrapper.  xp: (4*Cp, Hc, Wd) planar bf16; prep:
     prepare_conv_rsft output; sft: (4, 4*Cp, 1).  Returns (4*Cp, Hc, Wd)
     planar, or with head=True the (64, Hc, Wd) planar RGB (plane p rows
     [16p, 16p+3)).  nck>0 selects the chunked/software-pipelined kernel
     with nck chunks per conv; split additionally reads unshifted dot
-    planes straight from the resident sources (requires nck >= 1)."""
+    planes straight from the resident sources (requires nck >= 1).
+
+    Zero-convert W8A8 plumbing (serialized kernels only): i8_in=True
+    declares xp an int8 tensor already quantised at this stage's "x"
+    bound; out_inv (4*Cp,) / (4*Cp, 1) f32 makes this stage emit int8
+    codes (mutually exclusive with head — the RGB output stays bf16)."""
     g, hc, wd = xp.shape
     assert wd & (wd - 1) == 0 and wd >= 128, wd
     cp = g // 4
@@ -1398,7 +1537,13 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
     i8 = bool(prep.get("i8"))
     assert not (i8 and (nck > 0 or split)), \
         "int8 stage kernels are serialized-only (nck=0, no split)"
+    assert not ((i8_in or out_inv is not None) and nck > 0), \
+        "zero-convert i8 plumbing is serialized-only (nck=0)"
+    assert not i8_in or (i8 and xp.dtype == jnp.int8), (i8, xp.dtype)
+    assert not (head and out_inv is not None), "head output stays bf16"
     kdt = jnp.int8 if i8 else xp.dtype
+    cdt = jnp.bfloat16 if xp.dtype == jnp.int8 else xp.dtype
+    out_dt = jnp.int8 if out_inv is not None else cdt
     halo = 4 if head else 3
     grid = pl.cdiv(hc, th)
     hp = grid * th + 2 * halo
@@ -1413,6 +1558,8 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
     dq = jnp.zeros((2, 8, 1), jnp.float32)
     invq = prep.get("invq", dq)
     scq = prep.get("scq", dq)
+    outq = (jnp.zeros((8, 1), jnp.float32) if out_inv is None
+            else jnp.asarray(out_inv, jnp.float32).reshape(4 * cp, 1))
     planes = _region_planes(2 * cp, th + 2 * halo - 2, wd)
     assert not (split and nck == 0), "split mode requires nck >= 1"
     if nck > 0:
@@ -1431,14 +1578,14 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
         ]
     else:
         fn = functools.partial(_conv_rsft_kernel, hc, wc_real, wd, cp, th,
-                               head, i8)
+                               head, i8, i8_in, out_inv is not None)
         scratch = [
             pltpu.VMEM((2, 4 * cp, (th + 2 * halo) * wd), xp.dtype),
-            pltpu.VMEM((4 * cp, (th + 2 * halo - 2) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, (th + 2 * halo - 2) * wd), cdt),
             pltpu.VMEM((8 * cp, (th + 2 * halo) * wd), kdt),
-            pltpu.VMEM((4 * cp, (th + 2 * halo - 4) * wd), xp.dtype),
+            pltpu.VMEM((4 * cp, (th + 2 * halo - 4) * wd), kdt),
             pltpu.VMEM((8 * cp, (th + 2 * halo - 4) * wd), kdt),
-            pltpu.VMEM((4 * cp, n_r) if head else (8, 128), xp.dtype),
+            pltpu.VMEM((4 * cp, n_r) if head else (8, 128), kdt),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     if nck > 0:
@@ -1451,7 +1598,7 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
     else:
         inputs = (xf, prep["hc"], prep["fc"], prep["bc"], prep["h0"],
                   prep["f0"], prep["b0"], prep["h1"], prep["f1"],
-                  prep["b1"], hh, fh, bh, sft, planes, invq, scq)
+                  prep["b1"], hh, fh, bh, sft, planes, invq, scq, outq)
     out = _precision_safe_pallas_call(
         fn,
         grid=(grid,),
@@ -1459,7 +1606,7 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 1),
         out_specs=pl.BlockSpec((gout, th * wd), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gout, hc * wd), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((gout, hc * wd), out_dt),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),

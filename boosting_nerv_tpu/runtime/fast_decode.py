@@ -526,11 +526,16 @@ def build_serving_decode(cfg: BoostConfig, params,
         th_default, nck_default = 8, 0
 
     bounds = None
+    th_bf16 = nck_bf16 = None
     if w8a8_calib is not None and _os.environ.get("BNT_DECODE_W8A8") != "0":
         try:
             bounds = calibrate_planar_bounds(cfg, params, w8a8_calib,
                                              margin=1.05)
-        except ValueError:
+        except Exception as e:  # W8A8 is opportunistic: calibration
+            # failure (unsupported config, malformed calib iterable,
+            # off-plan params tree) must degrade to the bf16 pipeline
+            print(f"W8A8 calibration failed ({type(e).__name__}: {e}); "
+                  "serving bf16")
             bounds = None
         if bounds is not None:
             # int8 halves the K-buffer VMEM: the 540-grid kernels fit
@@ -540,7 +545,12 @@ def build_serving_decode(cfg: BoostConfig, params,
             # hardware-validated by tools/r4_i8_e2e_probe.py; a VMEM
             # overflow on an unprobed shape surfaces at first jit call
             # (bench.py catches it and keeps the bf16 headline).
+            # int8 eligibility is per-stage (cp % 32 == 0 inside the
+            # builder): any 540 stage that stays bf16 keeps the CHUNKED
+            # bf16 policy via th_bf16/nck_bf16 — th=12/nck=0 is a known
+            # scoped-VMEM OOM for a bf16 540 kernel (CLAUDE.md round 3).
             if cfg.crop_list == "1080_1920":
+                th_bf16, nck_bf16 = th_default, nck_default
                 th_default = {270: 16, 540: 12}
                 nck_default = 0
 
@@ -550,7 +560,7 @@ def build_serving_decode(cfg: BoostConfig, params,
             th=_policy("BNT_DECODE_TH", th_default),
             nck=_policy("BNT_DECODE_NCK", nck_default),
             split=_policy("BNT_DECODE_SPLIT", 0),
-            w8a8_bounds=bounds)
+            w8a8_bounds=bounds, th_bf16=th_bf16, nck_bf16=nck_bf16)
     except ValueError:
         return build_fast_decode_v3(cfg, params, tile_from_h=45,
                                     mode="dy3")
@@ -661,6 +671,8 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                          th: int | dict = 8, fine_from_h: int = 10 ** 9,
                          head_th: int = 24, nck: int | dict = 0,
                          split: int | dict = 0, w8a8_bounds=None,
+                         th_bf16: int | dict | None = None,
+                         nck_bf16: int | dict | None = None,
                          interpret: bool = False) -> Callable:
     """v5: fused-stage subpixel-planar tail (ops/pallas/planar).
 
@@ -733,15 +745,23 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     # scoped footprint (un-chunked th=12 OOMs on both 540 kernels), and
     # chunking pays ONLY via the taller tile it unlocks (strictly slower
     # at th=8).
-    th_of = ((lambda kind, hc: th) if isinstance(th, int)
-             else (lambda kind, hc: th.get(f"{kind}{hc}",
-                                           th.get(hc, 8))))
+    def _policy_fn(v, default):
+        if isinstance(v, int):
+            return lambda kind, hc: v
+        return lambda kind, hc: v.get(f"{kind}{hc}", v.get(hc, default))
+
+    th_of = _policy_fn(th, 8)
     # chunk count for the software-pipelined kernel variants (planar.py
     # _ck kernels): 0 = production serialized kernels; same dict keying
     # as `th` ("A540"/"B540"/540/... -> nck).
-    nck_of = ((lambda kind, hc: nck) if isinstance(nck, int)
-              else (lambda kind, hc: nck.get(f"{kind}{hc}",
-                                             nck.get(hc, 0))))
+    nck_of = _policy_fn(nck, 0)
+    # i8 eligibility is decided per stage inside this builder (cp % 32
+    # alignment): with a W8A8 policy, a stage that STAYS bf16 must keep a
+    # bf16-safe policy — th_bf16/nck_bf16 (defaulting to th/nck) apply to
+    # exactly those stages so an i8-only tile policy can never compile a
+    # bf16 kernel into a scoped-VMEM overflow (advisor round 4).
+    th_of_bf16 = th_of if th_bf16 is None else _policy_fn(th_bf16, 8)
+    nck_of_bf16 = nck_of if nck_bf16 is None else _policy_fn(nck_bf16, 0)
     # split-dot (source-direct unshifted planes) policy; effective only
     # on stages whose nck >= 1 (a global split=1 with a per-stage nck
     # dict simply leaves the non-chunked stages on the production path)
@@ -810,6 +830,33 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                     head_k=head["kernel"] if head else None,
                     head_b=head["bias"] if head else None)
         preps.append(prep)
+
+    # ---- zero-convert int8 chain ---------------------------------------- #
+    # A W8A8 stage whose PRODUCER (the previous tail stage) runs a
+    # serialized kernel receives its input as int8 codes: the producer
+    # quantises in its output epilogue (out_inv — a store that was
+    # happening anyway, at 1/2 the bf16 bytes) and the consumer's K-buf
+    # build becomes pure int8 copies + rolls instead of an f32->int8
+    # convert+pack pass (the round-4 decomposition priced those converts
+    # at ~half the i8 kernel time — tools/r4_i8_build_probe.py).  The
+    # producer itself may be bf16 (e.g. the cpi-misaligned A@270 stage):
+    # output quantisation needs no int8 weights.
+    i8_in_flags = [False] * len(preps)
+    out_invs = [None] * len(preps)
+    for off, bi in enumerate(range(switch_at, fine_at)):
+        if off == 0 or not preps[off].get("i8"):
+            continue
+        po, pbi = off - 1, bi - 1
+        kind_p = "A" if plan[pbi].strd == 2 else "B"
+        hc_p = out_hw[pbi][0] // 2
+        p_i8 = bool(preps[po].get("i8"))
+        nck_p = 0 if p_i8 else nck_of_bf16(kind_p, hc_p)
+        if nck_p != 0:
+            continue  # chunked producers cannot emit int8
+        cp_p = ((plan[pbi].new_ngf + 15) // 16 * 16)
+        out_invs[po] = pk.out_quant_vec(
+            jnp.asarray(w8a8_bounds[f"{bi}.x"], jnp.float32), cp_p)
+        i8_in_flags[off] = True
 
     # E-NeRV-Boost prefix: transformer trunk + t_branch + pre-switch
     # blocks (incl. the stage-0 ConvUpBlock) via plain flax — all coarse
@@ -884,23 +931,29 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                 # to shrink bf16 K-buffers under scoped VMEM, int8 halves
                 # them outright (planar.py asserts nck == 0 for i8).
                 i8_s = bool(preps[off].get("i8"))
-                nck_v = 0 if i8_s else nck_of("A", out_hw[bi][0] // 2)
+                hc_key = out_hw[bi][0] // 2
+                nck_v = 0 if i8_s else nck_of_bf16("A", hc_key)
                 planar = pk.fused_upconv_rsft(
                     chw, preps[off], sft, c_in=spec.ngf, c=c, wc_real=wc,
-                    th=th_of("A", out_hw[bi][0] // 2), nck=nck_v,
-                    split=(not i8_s and split_of("A", out_hw[bi][0] // 2)
+                    th=(th_of if i8_s else th_of_bf16)("A", hc_key),
+                    nck=nck_v,
+                    split=(not i8_s and split_of("A", hc_key)
                            and nck_v >= 1),
+                    i8_in=i8_in_flags[off], out_inv=out_invs[off],
                     interpret=interpret)
             else:
                 is_last_head = head_fused and bi == len(plan) - 1
                 i8_s = bool(preps[off].get("i8"))
-                nck_v = 0 if i8_s else nck_of("B", out_hw[bi][0] // 2)
+                hc_key = out_hw[bi][0] // 2
+                nck_v = 0 if i8_s else nck_of_bf16("B", hc_key)
                 planar = pk.fused_conv_rsft(
                     planar, preps[off], sft, c=c, wc_real=wc,
-                    head=is_last_head, th=th_of("B", out_hw[bi][0] // 2),
+                    head=is_last_head,
+                    th=(th_of if i8_s else th_of_bf16)("B", hc_key),
                     nck=nck_v,
-                    split=(not i8_s and split_of("B", out_hw[bi][0] // 2)
+                    split=(not i8_s and split_of("B", hc_key)
                            and nck_v >= 1),
+                    i8_in=i8_in_flags[off], out_inv=out_invs[off],
                     interpret=interpret)
 
         if fine_at < len(plan):
@@ -958,7 +1011,10 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
         out = _conv_nhwc(head, fine.transpose(1, 2, 0)[None], 1)
         return jnp.tanh(out) * 0.5 + 0.5
 
-    # introspection for bench/tests: which tail stages run W8A8
+    # introspection for bench/tests: which tail stages run W8A8, and
+    # which receive their input as int8 codes (zero-convert chain)
     decode.w8a8_stages = [switch_at + off for off, pr in enumerate(preps)
                           if pr.get("i8")]
+    decode.w8a8_zc = [switch_at + off for off, f in enumerate(i8_in_flags)
+                      if f]
     return decode

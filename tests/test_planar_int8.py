@@ -170,6 +170,9 @@ class TestInt8StageKernels:
         # stage 0 is the ks=1 (1x1-conv) stage — not planar-eligible;
         # the planar tail spans stages 1 (A) and 2 (B), both W8A8
         assert dec.w8a8_stages == [1, 2], dec.w8a8_stages
+        # zero-convert chain: stage 2's producer (stage 1, serialized)
+        # emits int8 codes, so stage 2 receives i8_in
+        assert dec.w8a8_zc == [2], dec.w8a8_zc
         out = dec(embed, t)
         assert out.shape == ref.shape
         diff = out.astype(jnp.float32) - ref

@@ -198,19 +198,26 @@ def _quant_act(x32, inv):
 #            the 32-bit view, mask, bitcast back: the rolls touch 1/4
 #            the sublanes and no extra f32->int8 packing happens
 # Exact-parity alternatives (rolls/masks of quantised values are exact
-# in either representation); selected by measurement
-# (tools/r4_i8_build_probe.py).
-I8_KBUF_ROLL = "f32"
+# in either representation — bitwise test in tests/test_planar_int8.py).
+# Default "pack" since round 5: the round-4 SIGABRT was slicing an
+# iota-derived col plane to the packed row count (root-caused offline,
+# tools/r5_pack_bisect2.py; masks are now built directly at Cp/4 rows)
+# and pack halves the convert volume of every quantising build.
+I8_KBUF_ROLL = "pack"
 
 
-def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
+def _build_kbuf(buf, x32, colp, wc_real, cp, dt, wd=None):
     """Fill the (8*Cp, L) K-buffer from the f32 region x32 (4*Cp, L) —
     or from per-r1 (2*Cp, L) groups when x32 is a callable r1 -> block.
     colp: (Cp, L) coarse-col plane of the region.  Stores in the buffer's
     own dtype (int8 K-buffers get integer-valued f32 from a quantising
-    getter; `dt` is kept for call-site compatibility)."""
+    getter; `dt` is kept for call-site compatibility).  wd: the coarse
+    padded width — REQUIRED for the pack roll mode, whose packed-shape
+    mask must be an iota built directly at Cp/4 rows (slicing an iota
+    plane aborts Mosaic — tools/r5_pack_bisect2.py)."""
     bt = buf.dtype
     pack = bt == jnp.int8 and I8_KBUF_ROLL == "pack"
+    assert not pack or wd is not None, "pack roll mode needs wd"
     get = x32 if callable(x32) else (
         lambda r1: lax.slice_in_dim(x32, r1 * 2 * cp, (r1 + 1) * 2 * cp,
                                     axis=0))
@@ -224,7 +231,7 @@ def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
         if pack:
             p0 = buf[pl.ds(base, cp), pl.ds(0, lanes)]
             p1 = buf[pl.ds(base + cp, cp), pl.ds(0, lanes)]
-            c32 = lax.slice_in_dim(colp, 0, cp // 4, axis=0)
+            c32 = _col_plane(cp // 4, lanes, wd)
             vm = _roll_packed_i8(p1, 1, c32 > 0)
             vp = _roll_packed_i8(p0, lanes - 1, c32 < wc_real - 1)
             buf[pl.ds(base + 2 * cp, cp), pl.ds(0, lanes)] = vm
@@ -239,17 +246,23 @@ def _build_kbuf(buf, x32, colp, wc_real, cp, dt):
         buf[pl.ds(base + 3 * cp, cp), pl.ds(0, lanes)] = vp.astype(bt)
 
 
-def _roll_pm1_i8(p8, colp, wc_real, cp, lanes):
+def _roll_pm1_i8(p8, colp, wc_real, cp, lanes, wd):
     """(vm, vp) +-1 lane-rolls of the int8 (2*Cp, L) group [p0; p1]
     (zero-convert builds).  'pack' rolls the packed-int32 bitcast view
     (touches 1/4 the sublanes, zero converts); the fallback widens to
     f32 for the roll and re-packs — 4*Cp packing stores per build vs the
     8*Cp of a quantising build.  Exact either way: rolls/masks of int8
-    codes commute with the representation."""
+    codes commute with the representation.
+
+    The packed-shape mask MUST be an iota built directly at Cp/4 rows:
+    lax.slice_in_dim of an iota-derived plane down to the packed row
+    count aborts the Mosaic compiler (array.h:480 "limits[i] <= dim(i)
+    (2 vs. 1)" — the round-4 pack SIGABRT, root-caused offline by
+    tools/r5_pack_bisect2.py)."""
     p0 = lax.slice_in_dim(p8, 0, cp, axis=0)
     p1 = lax.slice_in_dim(p8, cp, 2 * cp, axis=0)
     if I8_KBUF_ROLL == "pack":
-        c32 = lax.slice_in_dim(colp, 0, cp // 4, axis=0)
+        c32 = _col_plane(cp // 4, lanes, wd)
         vm = _roll_packed_i8(p1, 1, c32 > 0)
         vp = _roll_packed_i8(p0, lanes - 1, c32 < wc_real - 1)
         return vm, vp
@@ -261,7 +274,7 @@ def _roll_pm1_i8(p8, colp, wc_real, cp, lanes):
     return vm.astype(jnp.int8), vp.astype(jnp.int8)
 
 
-def _build_kbuf_i8(buf, get8, colp, wc_real, cp):
+def _build_kbuf_i8(buf, get8, colp, wc_real, cp, wd):
     """Zero-convert _build_kbuf for an ALREADY-int8 source: the
     unshifted vb0/vb1 planes are int8->int8 copies and the rolled
     vb2/vb3 planes come from _roll_pm1_i8 — no f32->int8 quantisation
@@ -273,19 +286,20 @@ def _build_kbuf_i8(buf, get8, colp, wc_real, cp):
         lanes = g.shape[1]
         base = r1 * 4 * cp
         buf[pl.ds(base, 2 * cp), pl.ds(0, lanes)] = g
-        vm, vp = _roll_pm1_i8(g, colp, wc_real, cp, lanes)
+        vm, vp = _roll_pm1_i8(g, colp, wc_real, cp, lanes, wd)
         buf[pl.ds(base + 2 * cp, cp), pl.ds(0, lanes)] = vm
         buf[pl.ds(base + 3 * cp, cp), pl.ds(0, lanes)] = vp
 
 
-def _preshift_i8(buf, x8, colp, w_real, cpad):
+def _preshift_i8(buf, x8, colp, w_real, cpad, wd):
     """Zero-convert _preshift_into for an already-int8 (Cpad, L) block:
-    dx=0 is a copy, dx=+-1 via _roll_pm1_i8 on the doubled group."""
+    dx=0 is a copy, dx=+-1 via packed rolls (mask iota built directly
+    at the packed row count — see _roll_pm1_i8)."""
     lanes = x8.shape[1]
     buf[pl.ds(cpad, cpad), pl.ds(0, lanes)] = x8
     if I8_KBUF_ROLL == "pack":
         x8r = buf[pl.ds(cpad, cpad), pl.ds(0, lanes)]
-        c32 = lax.slice_in_dim(colp, 0, cpad // 4, axis=0)
+        c32 = _col_plane(cpad // 4, lanes, wd)
         xm = _roll_packed_i8(x8r, 1, c32 > 0)
         xp = _roll_packed_i8(x8r, lanes - 1, c32 < w_real - 1)
     else:
@@ -753,7 +767,7 @@ def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
         return v
 
     colp = lax.slice_in_dim(colp2, 0, cp, axis=0)
-    _build_kbuf(kb1, sft0, colp, wc_real, cp, dt)
+    _build_kbuf(kb1, sft0, colp, wc_real, cp, dt, wd=wd)
     a0, a1 = _planar_dots(kb1, h0_ref, f0_ref, cp, cp, wd, nmid,
                           merge=merge, sc=sc0)
     m0 = _gelu(a0 + b0_ref[pl.ds(0, 2 * cp)]) * \
@@ -786,7 +800,7 @@ def _rsft_chain(row0, th, wd, cp, hc_real, wc_real, dt, x32, planes_ref,
         def src1(r1):
             return mid[pl.ds(r1 * 2 * cp, 2 * cp), :]
 
-        _build_kbuf_i8(kb2, src1, colm, wc_real, cp)
+        _build_kbuf_i8(kb2, src1, colm, wc_real, cp, wd)
     r0, r1 = _planar_dots(kb2, h1_ref, f1_ref, cp, cp, wd, nout,
                           merge=merge, sc=sc1)
     for py, r in ((0, r0), (1, r1)):
@@ -1251,14 +1265,14 @@ def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, i8, i8_in,
 
     colp_i = _col_plane(cpi, lanes_in, wd)
     if i8_in:
-        _preshift_i8(shbuf, xtile[slot], colp_i, wc_real, cpi)
+        _preshift_i8(shbuf, xtile[slot], colp_i, wc_real, cpi, wd)
     else:
         x32 = xtile[slot].astype(jnp.float32)
         if i8:
             x32 = _quant_act(x32, lax.slice_in_dim(invq_ref[0], 0, cpi,
                                                    axis=0))
         _preshift_into(shbuf, x32, colp_i, wc_real, bdt, cpi,
-                       pack=i8 and I8_KBUF_ROLL == "pack")
+                       pack=i8 and I8_KBUF_ROLL == "pack", wd=wd)
     acc_t = jnp.int32 if i8 else jnp.float32
     acc = jnp.zeros((4 * cp, n_a), acc_t)
     for dy in range(3):
@@ -1427,7 +1441,7 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, i8, i8_in,
             return lax.slice_in_dim(x8, r1 * 2 * cp, (r1 + 1) * 2 * cp,
                                     axis=0)
 
-        _build_kbuf_i8(kb1, src_x8, colp, wc_real, cp)
+        _build_kbuf_i8(kb1, src_x8, colp, wc_real, cp, wd)
         scc = scq_ref[0]
         q = (invq_ref[1], scq_ref[1], invq_ref[2], scq_ref[2])
     elif i8:
@@ -1441,7 +1455,7 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, i8, i8_in,
                 lax.slice_in_dim(invx, r1 * 2 * cp, (r1 + 1) * 2 * cp,
                                  axis=0))
 
-        _build_kbuf(kb1, src_x, colp, wc_real, cp, bdt)
+        _build_kbuf(kb1, src_x, colp, wc_real, cp, bdt, wd=wd)
         scc = scq_ref[0]
         q = (invq_ref[1], scq_ref[1], invq_ref[2], scq_ref[2])
     else:
@@ -1502,7 +1516,7 @@ def _conv_rsft_kernel(hc_real, wc_real, wd, cp, th, head, i8, i8_in,
         def src_h8(r1):
             return rbuf[pl.ds(r1 * 2 * cp, 2 * cp), :]
 
-        _build_kbuf_i8(kb1, src_h8, colh, wc_real, cp)
+        _build_kbuf_i8(kb1, src_h8, colh, wc_real, cp, wd)
         sch = lax.slice_in_dim(scq_ref[3], 0, 64, axis=0)
     else:
         _build_kbuf(kb1, rbuf[...].astype(jnp.float32), colh, wc_real,

@@ -251,7 +251,7 @@ def _roll_packed_i8(p, shift, mask):
     return pltpu.bitcast(jnp.where(mask, v, jnp.int32(0)), jnp.int8)
 
 
-def _preshift_into(buf, x32, colp, w_real, dt, cpad, pack=False):
+def _preshift_into(buf, x32, colp, w_real, dt, cpad, pack=False, wd=None):
     """Write the dx=-1/0/+1 shifted copies into the contiguous (3*Cpad, L)
     scratch `buf` (dx-major row blocks) so that for every row offset dy the
     K=3*Cpad rhs of the conv dot is ONE static slice buf[:, dy*w:dy*w+n].
@@ -262,9 +262,12 @@ def _preshift_into(buf, x32, colp, w_real, dt, cpad, pack=False):
     lanes = x32.shape[1]  # lane-partial: the scratch may be wider
     if pack:
         assert buf.dtype == jnp.int8 and cpad % 4 == 0, (buf.dtype, cpad)
+        assert wd is not None, "pack roll mode needs wd (iota mask must "\
+            "be built at the packed row count, not sliced — Mosaic abort"
         buf[pl.ds(cpad, cpad), pl.ds(0, lanes)] = x32.astype(jnp.int8)
         x8 = buf[pl.ds(cpad, cpad), pl.ds(0, lanes)]
-        c32 = lax.slice_in_dim(colp, 0, cpad // 4, axis=0)
+        from .planar import _col_plane as _cpl
+        c32 = _cpl(cpad // 4, lanes, wd)
         buf[pl.ds(0, cpad), pl.ds(0, lanes)] = _roll_packed_i8(
             x8, 1, c32 > 0)
         buf[pl.ds(2 * cpad, cpad), pl.ds(0, lanes)] = _roll_packed_i8(

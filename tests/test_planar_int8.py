@@ -220,6 +220,43 @@ class TestInt8StageKernels:
                             - ref).max())
         assert err < 0.02, err
 
+    def test_pack_roll_mode_bitwise_parity(self):
+        """I8_KBUF_ROLL='pack' (packed-int32 bitcast lane rolls) must be
+        BITWISE identical to the 'f32' widen path: both roll the same
+        quantised int8 codes, only the representation differs.  The
+        round-4 SIGABRT was root-caused to slicing an iota-derived col
+        plane to the packed row count (tools/r5_pack_bisect2.py); the
+        masks are now built directly at Cp/4 rows."""
+        import boosting_nerv_tpu.ops.pallas.planar as pkm
+
+        c, hc, wc, wd = 20, 9, 50, 128
+        xf = _rand(c, 2 * hc, 2 * wc)
+        ck, cb = _rand(3, 3, c, c), _rand(c, s=0.1)
+        w0, w1 = _rand(3, 3, c, c), _rand(3, 3, c, c)
+        b0, b1 = _rand(c, s=0.1), _rand(c, s=0.1)
+        s0, h0, s1, h1 = [_rand(c, s=0.3) for _ in range(4)]
+        mid = jnp.sin(_conv(xf, ck, cb))
+        _, t0, t1 = _rsft_taps(mid, w0, b0, w1, b1, s0, h0, s1, h1)
+        bounds = dict(x=_chmax(xf), t0=_chmax(t0), t1=_chmax(t1))
+        prep = prepare_conv_rsft_i8(ck, cb, w0, b0, w1, b1, c=c,
+                                    bounds=bounds)
+        sft = sft_planar_vectors(s0, h0, s1, h1, 32)
+        xp = to_planar(xf.astype(jnp.bfloat16))
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wd - wc)))
+        outs = {}
+        old = pkm.I8_KBUF_ROLL
+        try:
+            for mode in ("f32", "pack"):
+                pkm.I8_KBUF_ROLL = mode
+                outs[mode] = fused_conv_rsft(
+                    xp, prep, sft, c=c, wc_real=wc, head=False, th=4,
+                    interpret=True)
+        finally:
+            pkm.I8_KBUF_ROLL = old
+        a = np.asarray(outs["f32"].astype(jnp.float32))
+        b = np.asarray(outs["pack"].astype(jnp.float32))
+        assert (a == b).all(), float(np.abs(a - b).max())
+
     def test_upconv_rsft_i8(self):
         from boosting_nerv_tpu.ops.pixelshuffle import depth_to_space
 

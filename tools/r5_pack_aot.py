@@ -31,6 +31,11 @@ CASES = [
 
 
 def _run_case(case: str) -> None:
+    # `python tools/r5_pack_aot.py <case>` puts tools/ (not the repo
+    # root) on sys.path; running with no PYTHONPATH (required for the
+    # deviceless TPU target) the repo import needs an explicit root
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -79,7 +84,7 @@ def _run_case(case: str) -> None:
                     lax.slice_in_dim(x32, r1 * 2 * CP, (r1 + 1) * 2 * CP,
                                      axis=0), inv)
 
-            pk._build_kbuf(kb1, get, colp, WC, CP, jnp.int8)
+            pk._build_kbuf(kb1, get, colp, WC, CP, jnp.int8, wd=WD)
             a = lax.dot(w_ref[...], kb1[:, pl.ds(WD, nout)],
                         preferred_element_type=jnp.int32)
             if case == "micro_pack_2x":
@@ -90,7 +95,7 @@ def _run_case(case: str) -> None:
                     return pk._quant_act(
                         lax.slice_in_dim(_m, 0, 2 * CP, axis=0), inv)
 
-                pk._build_kbuf(kb2, get2, colm, WC, CP, jnp.int8)
+                pk._build_kbuf(kb2, get2, colm, WC, CP, jnp.int8, wd=WD)
                 a = a + lax.dot(w_ref[...],
                                 kb2[:, pl.ds(0, nout)],
                                 preferred_element_type=jnp.int32)

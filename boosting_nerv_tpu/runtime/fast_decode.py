@@ -538,11 +538,13 @@ def build_serving_decode(cfg: BoostConfig, params,
                   "serving bf16")
             bounds = None
         if bounds is not None:
-            # int8 halves the K-buffer VMEM: the 540-grid kernels fit
-            # taller tiles UN-chunked (nck is forced 0 on i8 stages
-            # inside the builder).  A@270 stays bf16 (cpi=80 misaligned)
-            # at its measured-best th=16 unchunked.  Policy is
-            # hardware-validated by tools/r4_i8_e2e_probe.py; a VMEM
+            # Zero-convert int8 (round 5): inter-stage tensors stay int8,
+            # K-bufs build from the int8 source with packed lane-rolls, so
+            # the VMEM footprint shrinks enough for th=16 UN-chunked on
+            # the 540-grid stages (nck is forced 0 on i8 stages inside
+            # the builder) and th=24 on the bf16 270 grid.  Measured
+            # 2026-08-20 (tools/r5_zc_probe.py): {270:24,540:16} 40.0 fps
+            # vs 32.5 bf16 production, psnr-vs-bf16 59.3 dB.  A VMEM
             # overflow on an unprobed shape surfaces at first jit call
             # (bench.py catches it and keeps the bf16 headline).
             # int8 eligibility is per-stage (cp % 32 == 0 inside the
@@ -551,7 +553,7 @@ def build_serving_decode(cfg: BoostConfig, params,
             # scoped-VMEM OOM for a bf16 540 kernel (CLAUDE.md round 3).
             if cfg.crop_list == "1080_1920":
                 th_bf16, nck_bf16 = th_default, nck_default
-                th_default = {270: 16, 540: 12}
+                th_default = {270: 24, 540: 16}
                 nck_default = 0
 
     try:

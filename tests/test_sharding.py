@@ -147,6 +147,57 @@ class TestSpatialSharding:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestCEMDataParallel:
+    def test_cem_step_dp_matches_single_device(self, tmp_path):
+        """One dp=4 sharded CEM step (fake-quant + rate term + Adan over
+        the qp pytree) must match dp=1: the entropy-model noise keys fold
+        over PARAMS, not frames, so the step is dp-invariant up to psum
+        reduction order (VERDICT r4 task 9)."""
+        import os
+
+        from boosting_nerv_tpu.config import BoostConfig
+        from boosting_nerv_tpu.data import VideoData, synthetic_video
+        from boosting_nerv_tpu.training.compress_trainer import (
+            CompressionTrainer)
+        from boosting_nerv_tpu.utils.logger import RunLogger
+
+        frames = synthetic_video(8, 8, 16)
+        base = dict(
+            model="NeRV_Boost", embed="pe_1.25_20", fc_hw="2_4", fc_dim=12,
+            dec_strds=[2, 2], dec_blks=[1, 1], ks="0_1_5",
+            conv_type=["convnext", "pshuffel_3x3"], act="sin", norm="none",
+            sft_block="res_sft", ch_t=8, reduce=1.2, lower_width=4,
+            enc_strds=[2, 2], enc_dim="8_4", enc_blks=1,
+            epochs=1, batchSize=8, lr=5e-4, loss="L2", eval_freq=1000,
+            optim_type="Adan", lr_type="cosine_0_1_0.1", not_resume=True,
+            quant=True, quant_model_bit=8, quant_bias_bit=8,
+            quantizer_w="scale", quantizer_b="scale",
+            quantizer_e="scalebeta", lambda_rate=0.05, target_bit=4)
+
+        results = {}
+        for dp in (1, 4):
+            cfg = BoostConfig(**base, dp=dp,
+                              outf=os.path.join(str(tmp_path), f"dp{dp}"))
+            video = VideoData(frames)
+            ct = CompressionTrainer(cfg, video=video,
+                                    logger=RunLogger(cfg.outf,
+                                                     enable_tb=False))
+            ct.init_qparams()
+            batch = video.get_batch(list(range(8)))
+            img, t = ct._device_batch(batch)
+            key = jax.random.key(123)
+            state, _, loss, _, bpp = ct.cem_step(
+                ct.state, ct.opt_state, img, t, jnp.float32(5e-4), key)
+            results[dp] = (jax.device_get(state), float(loss), float(bpp))
+
+        np.testing.assert_allclose(results[1][1], results[4][1], rtol=1e-5)
+        np.testing.assert_allclose(results[1][2], results[4][2], rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(results[1][0]),
+                        jax.tree_util.tree_leaves(results[4][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+
 class TestTrainerSpatialSharding:
     def test_sp_flag_shards_real_training(self, tmp_path):
         """--sp 2 must change the sharding of the actual trainer batch AND

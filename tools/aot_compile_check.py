@@ -102,6 +102,20 @@ if os.environ.get("BNT_AOT_W8A8"):
         ("i8 th540_12 A270nck3", dict(th={270: 16, 540: 12},
                                       nck={"A270": 3},
                                       w8a8_bounds=BOUNDS)),
+        # round-5 frontier: zero-convert (default) shrank scoped VMEM —
+        # th={270:24,540:16} is the hardware-verified 40 fps policy; can
+        # taller tiles (or taller 135-zone tiles) fit now?
+        ("zc th540_20 270_24", dict(th={270: 24, 540: 20},
+                                    w8a8_bounds=BOUNDS)),
+        ("zc th540_24 270_24", dict(th={270: 24, 540: 24},
+                                    w8a8_bounds=BOUNDS)),
+        ("zc th540_16 270_32", dict(th={270: 32, 540: 16},
+                                    w8a8_bounds=BOUNDS)),
+        ("zc th540_16 270_24 135_16", dict(th={135: 16, 270: 24, 540: 16},
+                                           w8a8_bounds=BOUNDS)),
+        ("zc max 135_16 270_32 540_24", dict(th={135: 16, 270: 32,
+                                                 540: 24},
+                                             w8a8_bounds=BOUNDS)),
     ]
 
 _only = os.environ.get("BNT_AOT_ONLY")  # substring filter, comma-separated

@@ -562,11 +562,14 @@ def _rsft_mats(w0, b0, w1, b1, cp):
                 f1_r=reorder_full_split(f1m, cp))
 
 
-def prepare_upconv_rsft(upk, upb, w0, b0, w1, b1, *, c_in, c):
+def prepare_upconv_rsft(upk, upb, w0, b0, w1, b1, *, c_in, c, cpi=None,
+                        cp=None):
     """Build-time weights for stage kernel A.  upk: HWIO (3, 3, C_in,
-    4*C) stride-2 pshuffel upconv; w0/w1/b0/b1: the TAT block convs."""
-    cpi = _round16(c_in)
-    cp = _round16(c)
+    4*C) stride-2 pshuffel upconv; w0/w1/b0/b1: the TAT block convs.
+    cpi/cp override the default 16-rounded padded channel counts (the
+    cp32 int8 mode pads to 32 so misaligned stages stay i8-eligible)."""
+    cpi = _round16(c_in) if cpi is None else cpi
+    cp = _round16(c) if cp is None else cp
     kp = upconv_kernel_to_planar(upk, cp)
     kp = jnp.pad(kp, ((0, 0), (0, 0), (0, cpi - c_in), (0, 0)))
     wup = _stack_weights_dy(kp, cpi, 4 * cp)
@@ -576,10 +579,11 @@ def prepare_upconv_rsft(upk, upb, w0, b0, w1, b1, *, c_in, c):
 
 
 def prepare_conv_rsft(ck, cb, w0, b0, w1, b1, *, c, head_k=None,
-                      head_b=None):
+                      head_b=None, cp=None):
     """Build-time weights for stage kernel B.  ck: HWIO (3, 3, C, C)
-    stride-1 conv; optional head_k: HWIO (3, 3, C, 3)."""
-    cp = _round16(c)
+    stride-1 conv; optional head_k: HWIO (3, 3, C, 3).  cp overrides
+    the 16-rounded padded channel count (cp32 int8 mode)."""
+    cp = _round16(c) if cp is None else cp
     hm, fm = planar_conv_mats(ck, cp, cp)
     prep = dict(hc=hm, fc=fm, fc_r=reorder_full_split(fm, cp),
                 bc=_planar_bias(cb, cp),
@@ -667,12 +671,14 @@ def _quant_conv(kernel, cp, cpo, bound):
 
 
 def prepare_conv_rsft_i8(ck, cb, w0, b0, w1, b1, *, c, bounds,
-                         head_k=None, head_b=None):
+                         head_k=None, head_b=None, cp=None):
     """int8 build-time weights for stage kernel B.  bounds: per-fine-
     channel |x| maxima at each conv INPUT — "x" (stage input), "t0"/"t1"
     (TAT conv inputs), "h" (head input) — from
-    runtime.fast_decode.calibrate_planar_bounds."""
-    cp = _round16(c)
+    runtime.fast_decode.calibrate_planar_bounds.  cp override: the cp32
+    mode passes a 32-rounded pad so cp%32-misaligned fine channel counts
+    (e.g. the 80-row 270 zone) stay int8-eligible at a 1.2x row cost."""
+    cp = _round16(c) if cp is None else cp
     assert 4 * cp % 32 == 0 and cp % 32 == 0, \
         f"int8 K-buffer sublane offsets need cp % 32 == 0, got {cp}"
     hq, fq, scc = _quant_conv(ck, cp, cp, bounds["x"])
@@ -698,11 +704,13 @@ def prepare_conv_rsft_i8(ck, cb, w0, b0, w1, b1, *, c, bounds,
     return prep
 
 
-def prepare_upconv_rsft_i8(upk, upb, w0, b0, w1, b1, *, c_in, c, bounds):
+def prepare_upconv_rsft_i8(upk, upb, w0, b0, w1, b1, *, c_in, c, bounds,
+                           cpi=None, cp=None):
     """int8 build-time weights for stage kernel A.  bounds keys: "x"
-    (the interleaved upconv input, (C_in,)), "t0"/"t1"."""
-    cpi = _round16(c_in)
-    cp = _round16(c)
+    (the interleaved upconv input, (C_in,)), "t0"/"t1".  cpi/cp: cp32
+    padded-row overrides (see prepare_conv_rsft_i8)."""
+    cpi = _round16(c_in) if cpi is None else cpi
+    cp = _round16(c) if cp is None else cp
     assert cpi <= 4 * cp, (cpi, cp)
     assert cp % 32 == 0 and cpi % 32 == 0, \
         f"int8 sublane offsets need cp/cpi % 32 == 0, got {cp}/{cpi}"
@@ -1299,7 +1307,7 @@ def _upconv_rsft_kernel(hc_real, wc_real, wd, cpi, cp, th, i8, i8_in,
 
 def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
                       split=False, i8_in=False, out_inv=None,
-                      interpret=False):
+                      cpi=None, cp=None, interpret=False):
     """Stage kernel A wrapper.  x: (C_in, Hc, Wd) interleaved bf16 on the
     coarse grid (Wd a power of two); prep: prepare_upconv_rsft output;
     sft: (4, 4*Cp, 1) planar SFT vectors.  Returns (4*Cp, Hc, Wd) planar
@@ -1315,8 +1323,8 @@ def fused_upconv_rsft(x, prep, sft, *, c_in, c, wc_real, th=TH, nck=0,
     output as int8 codes for the next stage's i8_in."""
     ci, hc, wd = x.shape
     assert wd & (wd - 1) == 0 and wd >= 128, wd
-    cpi = _round16(c_in)
-    cp = _round16(c)
+    cpi = _round16(c_in) if cpi is None else cpi
+    cp = _round16(c) if cp is None else cp
     i8 = bool(prep.get("i8"))
     assert not (i8 and (nck > 0 or split)), \
         "int8 stage kernels are serialized-only (nck=0, no split)"
@@ -1547,7 +1555,9 @@ def fused_conv_rsft(xp, prep, sft, *, c, wc_real, head=False, th=TH,
     g, hc, wd = xp.shape
     assert wd & (wd - 1) == 0 and wd >= 128, wd
     cp = g // 4
-    assert cp == _round16(c), (cp, c)
+    # cp32 mode pads beyond the 16-rounding so int8 sublane alignment
+    # holds at any fine channel count; cp is carried by the input shape
+    assert cp >= _round16(c) and cp % 16 == 0, (cp, c)
     i8 = bool(prep.get("i8"))
     assert not (i8 and (nck > 0 or split)), \
         "int8 stage kernels are serialized-only (nck=0, no split)"

@@ -814,15 +814,27 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
     # ---- build-time weight preparation --------------------------------- #
     # W8A8: a stage goes int8 when calibration bounds were supplied AND
     # its padded channel counts satisfy the int8 sublane alignment
-    # (cp % 32 == 0 — (32, 128) int8 tiling).  Misaligned stages (e.g.
-    # cp = 80 zones) silently stay bf16; mixed pipelines are fine because
-    # every kernel dequantizes back to the bf16 planar layout.
+    # (cp % 32 == 0 — (32, 128) int8 tiling).  cp32 mode (round 5):
+    # pad EVERY tail stage's channel planes to a
+    # 32-multiple so misaligned stages (the cp=80 270 zone) become
+    # i8-eligible too — 1.2x dead rows on those stages against the 2x
+    # int8 MXU rate and the zero-convert K-buf chain running tail-wide.
+    # opt-in until hardware-timed (BNT_I8_CP32=1): interpret-parity and
+    # deviceless Mosaic compile are green, but the 1.2x padded rows on
+    # the 270 zone must prove a net win on-chip before becoming default.
+    import os as _os_
+    i8_cp32 = (w8a8_bounds is not None
+               and _os_.environ.get("BNT_I8_CP32", "0") == "1")
+
+    def _cpad(c):
+        m = 32 if i8_cp32 else 16
+        return (c + m - 1) // m * m
+
     def _i8_bounds(bi, keys):
         if w8a8_bounds is None:
             return None
-        c = plan[bi].new_ngf
-        cpo = (c + 15) // 16 * 16
-        cpi = (plan[bi].ngf + 15) // 16 * 16
+        cpo = _cpad(plan[bi].new_ngf)
+        cpi = _cpad(plan[bi].ngf)
         aligned = cpo % 32 == 0 and (plan[bi].strd == 1 or cpi % 32 == 0)
         if not aligned:
             return None
@@ -844,11 +856,13 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
             if b8 is not None:
                 prep = pk.prepare_upconv_rsft_i8(
                     conv["kernel"], conv["bias"], w0, b0, w1, b1,
-                    c_in=plan[bi].ngf, c=c, bounds=b8)
+                    c_in=plan[bi].ngf, c=c, bounds=b8,
+                    cpi=_cpad(plan[bi].ngf), cp=_cpad(c))
             else:
                 prep = pk.prepare_upconv_rsft(
                     conv["kernel"], conv["bias"], w0, b0, w1, b1,
-                    c_in=plan[bi].ngf, c=c)
+                    c_in=plan[bi].ngf, c=c,
+                    cpi=_cpad(plan[bi].ngf), cp=_cpad(c))
         else:
             is_last = bi == len(plan) - 1
             head = p["head"]["Conv_0"] if (is_last and head_fused) else None
@@ -857,12 +871,13 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
             if b8 is not None:
                 prep = pk.prepare_conv_rsft_i8(
                     conv["kernel"], conv["bias"], w0, b0, w1, b1, c=c,
-                    bounds=b8,
+                    bounds=b8, cp=_cpad(c),
                     head_k=head["kernel"] if head else None,
                     head_b=head["bias"] if head else None)
             else:
                 prep = pk.prepare_conv_rsft(
                     conv["kernel"], conv["bias"], w0, b0, w1, b1, c=c,
+                    cp=_cpad(c),
                     head_k=head["kernel"] if head else None,
                     head_b=head["bias"] if head else None)
         preps.append(prep)
@@ -889,7 +904,7 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
         nck_p = 0 if p_i8 else nck_of_bf16(kind_p, hc_p)
         if nck_p != 0:
             continue  # chunked producers cannot emit int8
-        cp_p = ((plan[pbi].new_ngf + 15) // 16 * 16)
+        cp_p = _cpad(plan[pbi].new_ngf)
         out_invs[po] = pk.out_quant_vec(
             jnp.asarray(w8a8_bounds[f"{bi}.x"], jnp.float32), cp_p)
         i8_in_flags[off] = True
@@ -951,7 +966,7 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
             spec = plan[bi]
             rsft = p[f"blocks_{bi}"]["ResBlockSFT_0"]
             c = spec.new_ngf
-            cp = (c + 15) // 16 * 16
+            cp = _cpad(c)
             (s0v, h0v), (s1v, h1v) = _sft_vectors(rsft, t_embed)
             f32 = lambda v: v[0].astype(jnp.float32)
             sft = pk.sft_planar_vectors(f32(s0v), f32(h0v), f32(s1v),
@@ -976,6 +991,7 @@ def build_fast_decode_v5(cfg: BoostConfig, params, planar_from_h: int = 200,
                     split=(not i8_s and split_of("A", hc_key)
                            and nck_v >= 1),
                     i8_in=i8_in_flags[off], out_inv=out_invs[off],
+                    cpi=_cpad(spec.ngf), cp=cp,
                     interpret=interpret)
             else:
                 is_last_head = head_fused and bi == len(plan) - 1

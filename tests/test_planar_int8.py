@@ -191,7 +191,12 @@ class TestInt8StageKernels:
                              - ref2).max())
         assert err2 < 0.3, err2
 
-    def test_v5_decode_w8a8_misaligned_falls_back(self):
+    def test_v5_decode_w8a8_misaligned_cp32_vs_fallback(self, monkeypatch):
+        """cp % 32-misaligned channel counts: cp32 mode (BNT_I8_CP32=1,
+        opt-in until hardware-timed) pads the planes to a 32-multiple so
+        the stages still serve int8 (dead rows carry exact zeros
+        end-to-end); the default keeps the old behavior — misaligned
+        stages silently stay bf16."""
         from boosting_nerv_tpu.config import BoostConfig
         from boosting_nerv_tpu.models import build_model
         from boosting_nerv_tpu.runtime.fast_decode import (
@@ -211,12 +216,24 @@ class TestInt8StageKernels:
         embed = model.apply(params, img, method="encode")
         bounds = calibrate_planar_bounds(cfg, params, [(embed, t)],
                                          planar_from_h=1)
+        ref = model.apply(params, embed, t, method="decode")
+
+        # cp32 mode: padding makes the cp=16 stages i8-eligible
+        monkeypatch.setenv("BNT_I8_CP32", "1")
         dec = build_fast_decode_v5(cfg, params, planar_from_h=1, th=4,
                                    w8a8_bounds=bounds, interpret=True)
-        # cp = 16 stages are int8-ineligible: pipeline stays pure bf16
-        assert dec.w8a8_stages == []
-        ref = model.apply(params, embed, t, method="decode")
-        err = float(jnp.abs(dec(embed, t).astype(jnp.float32)
+        assert dec.w8a8_stages == [1, 2], dec.w8a8_stages
+        assert dec.w8a8_zc == [2], dec.w8a8_zc
+        diff = dec(embed, t).astype(jnp.float32) - ref
+        assert float(jnp.abs(diff).max()) < 0.2
+        assert float(jnp.sqrt(jnp.mean(diff ** 2))) < 0.03
+
+        # default (cp32 off): misaligned stages stay bf16, bit-faithful
+        monkeypatch.delenv("BNT_I8_CP32", raising=False)
+        dec0 = build_fast_decode_v5(cfg, params, planar_from_h=1, th=4,
+                                    w8a8_bounds=bounds, interpret=True)
+        assert dec0.w8a8_stages == []
+        err = float(jnp.abs(dec0(embed, t).astype(jnp.float32)
                             - ref).max())
         assert err < 0.02, err
 

@@ -76,6 +76,14 @@ POLICIES = [
     ("zc th540_16", {270: 16, 540: 16}),
     ("zc th540_12 270_24", {270: 24, 540: 12}),
     ("zc th540_16 270_24", {270: 24, 540: 16}),
+    # round-5b: taller tiles (AOT-feasibility first, tools/aot_compile
+    # _check.py) and the cp32 whole-tail-i8 mode (env-gated)
+    ("zc th540_20 270_24", {270: 24, 540: 20}),
+    ("zc th540_16 270_32", {270: 32, 540: 16}),
+    ("zc th540_16 270_24 135_16", {135: 16, 270: 24, 540: 16}),
+    ("cp32 th540_16 270_24", {270: 24, 540: 16}),
+    ("cp32 th540_12 270_24", {270: 24, 540: 12}),
+    ("cp32 th540_16 270_24 135_16", {135: 16, 270: 24, 540: 16}),
 ]
 only = os.environ.get("BNT_ZC_ONLY")
 if only:
@@ -83,6 +91,7 @@ if only:
                 if any(s in t for s in only.split(","))]
 
 for tag, th in POLICIES:
+    os.environ["BNT_I8_CP32"] = "1" if tag.startswith("cp32") else "0"
     try:
         dec = build_fast_decode_v5(cfg, params, planar_from_h=200, th=th,
                                    w8a8_bounds=bounds)

@@ -153,11 +153,13 @@ class CompressionTrainer(RegressionTrainer):
         cfg = self.cfg
         mask = self.inpaint_mask
         lam = cfg.lambda_rate
-        target_bpp = self.target_bpp
         n_frames = self.video.n
         final_size = self.video.final_size
 
-        def step(state, opt_state, img, t, lr, key):
+        # target_bpp rides as a traced scalar (not a baked constant) so the
+        # three-point --target_bit sweep shares ONE compiled step via the
+        # persistent XLA cache (1-core host: each recompile costs ~10 min).
+        def step(state, opt_state, img, t, lr, key, target_bpp):
             def lossf(state):
                 params, qparams, embed_qp = (state["model"], state["qp"],
                                              state.get("embed_qp"))
@@ -207,9 +209,9 @@ class CompressionTrainer(RegressionTrainer):
 
         self.cem_step = jax.jit(step, donate_argnums=(0, 1))
 
-        def step_idx(state, opt_state, frames, idx, t, lr, key):
+        def step_idx(state, opt_state, frames, idx, t, lr, key, target_bpp):
             img = frames[idx].astype(jnp.float32) / 255.0
-            return step(state, opt_state, img, t, lr, key)
+            return step(state, opt_state, img, t, lr, key, target_bpp)
 
         self.cem_step_idx = jax.jit(step_idx, donate_argnums=(0, 1))
 
@@ -259,12 +261,14 @@ class CompressionTrainer(RegressionTrainer):
                             self.state, self.opt_state, self.frames_dev,
                             jnp.asarray(batch["idx"]),
                             jnp.asarray(batch["norm_idx"]),
-                            jnp.float32(lr), sub)
+                            jnp.float32(lr), sub,
+                            jnp.float32(self.target_bpp))
                 else:
                     img, t = self._device_batch(batch)
                     self.state, self.opt_state, loss, psnr, bpp = \
                         self.cem_step(self.state, self.opt_state, img, t,
-                                      jnp.float32(lr), sub)
+                                      jnp.float32(lr), sub,
+                                      jnp.float32(self.target_bpp))
                 psnr_accum.append(psnr)
                 bpp_dev = bpp
                 if i % cfg.print_freq == 0 or i == n_train_batches - 1:

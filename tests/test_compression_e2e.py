@@ -71,6 +71,35 @@ class TestCompressionE2E:
         assert res["quant_seen_psnr"] > 12.0, res
         assert ct.total_bpp > 0
 
+    def test_cem_step_hlo_identical_across_target_bits(self, tmp_path):
+        """target_bpp rides as a traced scalar, so a --target_bit sweep
+        (the reference's rate ladder, scripts/compression/hnerv_boost.sh)
+        shares ONE compiled step across all rate points via the
+        persistent XLA cache — the lowered HLO must not bake the
+        target in as a constant."""
+        import jax.numpy as jnp
+
+        frames = synthetic_video(4, 8, 16)
+        video = VideoData(frames)
+        texts = []
+        for tb in (2, 6):
+            reg_cfg, comp_cfg = cfgs(tmp_path, "NeRV_Boost")
+            comp_cfg = comp_cfg.replace(
+                target_bit=tb, weight="None",
+                outf=os.path.join(str(tmp_path), f"comp_tb{tb}"))
+            ct = CompressionTrainer(
+                comp_cfg, video=video,
+                logger=RunLogger(comp_cfg.outf, enable_tb=False))
+            ct.maybe_resume()
+            ct.init_qparams()
+            img, t = ct._device_batch(video.get_batch([0, 1]))
+            import jax
+            lowered = ct.cem_step.lower(
+                ct.state, ct.opt_state, img, t, jnp.float32(1e-3),
+                jax.random.key(0), jnp.float32(ct.target_bpp))
+            texts.append(lowered.as_text())
+        assert texts[0] == texts[1]
+
     def test_hnerv_embed_quantized_without_embed_entropy(self, tmp_path):
         """Under --quant the HNeRV family always trains the decoder against
         the dequantised embedding, even without --embed_entropy
@@ -98,7 +127,8 @@ class TestCompressionE2E:
         for i in range(5):
             key = jax.random.key(i)
             ct.state, ct.opt_state, loss, psnr, bpp = ct.cem_step(
-                ct.state, ct.opt_state, img, t, jnp.float32(1e-3), key)
+                ct.state, ct.opt_state, img, t, jnp.float32(1e-3), key,
+                jnp.float32(ct.target_bpp))
         state1 = jax.device_get(ct.state["embed_qp"])
         moved = any(
             float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
@@ -180,7 +210,8 @@ class TestCompressionE2E:
             img, t = ct._device_batch(batch)
             key, sub = jax.random.split(key)
             ct.state, ct.opt_state, loss, psnr, bpp = ct.cem_step(
-                ct.state, ct.opt_state, img, t, jnp.float32(1e-3), sub)
+                ct.state, ct.opt_state, img, t, jnp.float32(1e-3), sub,
+                jnp.float32(ct.target_bpp))
         q1 = jax.device_get(ct.state["qp"])
         moved = any(
             float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0

@@ -187,7 +187,8 @@ class TestCEMDataParallel:
             img, t = ct._device_batch(batch)
             key = jax.random.key(123)
             state, _, loss, _, bpp = ct.cem_step(
-                ct.state, ct.opt_state, img, t, jnp.float32(5e-4), key)
+                ct.state, ct.opt_state, img, t, jnp.float32(5e-4), key,
+                jnp.float32(ct.target_bpp))
             results[dp] = (jax.device_get(state), float(loss), float(bpp))
 
         np.testing.assert_allclose(results[1][1], results[4][1], rtol=1e-5)

@@ -287,7 +287,15 @@ class CompressionTrainer(RegressionTrainer):
             self.params = self.state["model"]
             last = cfg.epochs - epoch
             is_best = False
-            if (epoch + 1) % cfg.eval_freq == 0 or last in (1, 3, 5):
+            do_eval = (epoch + 1) % cfg.eval_freq == 0 or last in (1, 3, 5)
+            if os.environ.get("BNT_CEM_EVAL_LAST_ONLY") and last != 1:
+                # sweep mode: each non-final eval costs minutes (132-frame
+                # decode + metrics on the 1-core host); only the final
+                # coding=True eval produces the real-ANS row the sweep
+                # needs.  Reference cadence (train_nerv_compression.py:577)
+                # stays the default.
+                do_eval = False
+            if do_eval:
                 results = self.evaluate_cem(coding=(last == 1))
                 msg = f"Eval at epoch {epoch + 1}: "
                 for k in METRIC_NAMES:
